@@ -206,6 +206,21 @@ object Step {
     (CrawlState.Accepted, Some(text), Extract.harvestOutlinks(triples))
   }
 
+  // ----------------------------------------------------- ordering keys
+  // Shared by the serial simulator and the Spark engine so the parallel
+  // schedule is provably the same total order as the reference's A1 sort
+  // (db.c:681-692). Per-host terms (earliest_update, rate) are constant
+  // within a host, so the per-host winner needs only the frontier columns.
+
+  /** Per-host winner ordering (constant-per-host terms dropped). */
+  def hostKey(f: FrontierEntry): (Int, Long, String) =
+    (if (f.state == CrawlState.New) 0 else 1, f.next_fetch, f.url)
+
+  /** Cross-host emission ordering — the full A1 composite sort. */
+  def emitKey(f: FrontierEntry, h: HostEntry): (Int, Long, Long, Int, String) =
+    (if (f.state == CrawlState.New) 0 else 1, h.earliest_update,
+      f.next_fetch, h.rate, f.url)
+
   private def coerceFailedState(s: String): String =
     if (s == CrawlState.Failed || s == CrawlState.Rejected ||
         s == CrawlState.Skipped) s

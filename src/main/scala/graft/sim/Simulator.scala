@@ -55,15 +55,9 @@ final class Simulator(web: Map[String, Step.WebEntry], cfg: CrawlConfig) {
       }
     }
 
-  /** Per-host winner ordering (constant-per-host terms dropped). */
-  private def hostKey(f: FrontierEntry): (Int, Long, String) =
-    (if (f.state == CrawlState.New) 0 else 1, f.next_fetch, f.url)
-
-  /** Cross-host emission ordering — the full A1 composite sort. */
-  private def emitKey(f: FrontierEntry, h: HostEntry)
-      : (Int, Long, Long, Int, String) =
-    (if (f.state == CrawlState.New) 0 else 1, h.earliest_update,
-      f.next_fetch, h.rate, f.url)
+  /** Ordering keys shared with the Spark engine (Step.hostKey/emitKey). */
+  private def hostKey(f: FrontierEntry) = Step.hostKey(f)
+  private def emitKey(f: FrontierEntry, h: HostEntry) = Step.emitKey(f, h)
 
   /** The picks a round would make from the current state (pure). */
   def picksAt(now: Long): Seq[FrontierEntry] = {

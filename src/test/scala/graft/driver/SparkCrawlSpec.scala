@@ -1,0 +1,121 @@
+package graft.driver
+
+import java.nio.file.Files
+import graft.SparkTestBase
+import graft.core.CrawlConfig
+import graft.operators.CrawlRound
+import graft.sim.{FixtureWeb, Simulator}
+import graft.tables.SnapshotStore
+
+/**
+ * The BASELINE.md trace-replay gate: the Spark engine must reproduce the
+ * reference simulator's crawl ordering, URL-seen set and extracted text
+ * exactly, under the same seeds and politeness budget — and must resume
+ * from any snapshot to the identical final state.
+ */
+class SparkCrawlSpec extends SparkTestBase {
+  val T0 = 1000000L
+
+  def cfg: CrawlConfig = FixtureWeb.config()
+
+  def freshSim(c: CrawlConfig = cfg): Simulator = {
+    val sim = new Simulator(FixtureWeb.generate(), c)
+    FixtureWeb.seeds.foreach(sim.addUrl(_, T0 - 1))
+    sim
+  }
+
+  def freshDriver(c: CrawlConfig = cfg,
+                  store: Option[SnapshotStore] = None,
+                  checkpointEvery: Int = 1): CrawlDriver = {
+    val web = CrawlRound.webFromMap(spark, FixtureWeb.generate())
+    val d = new CrawlDriver(spark, c, web, store, numBuckets = 8,
+      checkpointEvery = checkpointEvery)
+    d.seed(FixtureWeb.seeds, T0 - 1)
+    d
+  }
+
+  // Phase 1 exercises discovery/politeness/redirect/policy paths; the
+  // clock jump past the 2h-unchanged and 1h-TTL windows exercises the
+  // refetch + If-Modified-Since/304 paths (db.c:1077-1126).
+  def runBoth(sim: Simulator, drv: CrawlDriver): Unit = {
+    sim.run(T0, 16);        drv.run(T0, 16)
+    sim.run(T0 + 7300, 6);  drv.run(T0 + 7300, 6)
+  }
+
+  test("crawl ordering matches the reference trace exactly") {
+    val sim = freshSim()
+    val drv = freshDriver()
+    runBoth(sim, drv)
+    val simTrace = sim.trace.toSeq
+    val sparkTrace = drv.traceRows
+    assert(sparkTrace.nonEmpty)
+    assert(sparkTrace == simTrace)
+  }
+
+  test("URL-seen set matches exactly") {
+    val sim = freshSim()
+    val drv = freshDriver()
+    runBoth(sim, drv)
+    assert(drv.seenSet == sim.seenSet)
+    assert(drv.seenSet.nonEmpty)
+  }
+
+  test("extracted text is byte-identical per url (input_hint invariant)") {
+    val sim = freshSim()
+    val drv = freshDriver()
+    runBoth(sim, drv)
+    val simText = sim.extracted.toMap
+    val sparkText = drv.extractedMap
+    assert(sparkText.keySet == simText.keySet)
+    sparkText.foreach { case (url, text) =>
+      assert(text == simText(url), s"text mismatch for $url")
+      // and against the golden `text` column of the pages table
+    }
+    val golden = FixtureWeb.pagesRows(FixtureWeb.generate())
+      .map(r => r._1 -> r._4).toMap
+    sparkText.foreach { case (url, text) =>
+      golden.get(url).foreach(g => assert(text == g,
+        s"golden text mismatch for $url"))
+    }
+  }
+
+  test("budget truncates the trace at the same point") {
+    val c = FixtureWeb.config(budget = 7)
+    val sim = freshSim(c)
+    val drv = freshDriver(c)
+    sim.run(T0, 16); drv.run(T0, 16)
+    assert(sim.trace.size == 7)
+    assert(drv.traceRows == sim.trace.toSeq)
+  }
+
+  test("resume from a mid-crawl snapshot reproduces the final state") {
+    val dirA = Files.createTempDirectory("graft-snap-a").toString
+    val dirB = Files.createTempDirectory("graft-snap-b").toString
+
+    // uninterrupted run
+    val full = freshDriver(store = Some(new SnapshotStore(dirA)),
+      checkpointEvery = 4)
+    full.run(T0, 16)
+
+    // interrupted run: 8 rounds, then a brand-new driver resumes from the
+    // snapshot store and finishes the remaining 8 on the same clock
+    val part = freshDriver(store = Some(new SnapshotStore(dirB)),
+      checkpointEvery = 4)
+    part.run(T0, 8)
+
+    val resumed = new CrawlDriver(spark, cfg,
+      CrawlRound.webFromMap(spark, FixtureWeb.generate()),
+      Some(new SnapshotStore(dirB)), numBuckets = 8, checkpointEvery = 4)
+    assert(resumed.resume())
+    assert(resumed.seq == part.seq)
+    resumed.run(T0 + 8, 8)
+
+    assert(resumed.seenSet == full.seenSet)
+    assert(resumed.traceRows == full.traceRows)
+    assert(resumed.extractedMap == full.extractedMap)
+    // frontier row-level equality (schedule state identical)
+    val a = full.frontier.collect().map(f => f.url_hash -> f).toMap
+    val b = resumed.frontier.collect().map(f => f.url_hash -> f).toMap
+    assert(a == b)
+  }
+}

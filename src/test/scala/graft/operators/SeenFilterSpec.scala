@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.operators.SeenFilter.{Candidate, CuckooFilter, SeenBloom}
+
+class SeenFilterSpec extends SparkTestBase {
+
+  test("cuckoo filter: no false negatives, low false positives") {
+    val cf = new CuckooFilter(4096)
+    val keys = (0 until 4000).map(i => s"key-$i")
+    keys.foreach(cf.insert)
+    keys.foreach(k => assert(cf.mightContain(k), s"false negative for $k"))
+    val fps = (0 until 10000).count(i => cf.mightContain(s"other-$i"))
+    assert(fps < 50, s"too many false positives: $fps") // ~0.05% expected
+  }
+
+  test("cuckoo filter: overflow spill stays exact (no false negatives)") {
+    val cf = new CuckooFilter(16) // tiny → forces evictions + spill
+    val keys = (0 until 500).map(i => s"k$i")
+    keys.foreach(cf.insert)
+    keys.foreach(k => assert(cf.mightContain(k)))
+  }
+
+  test("bloom+cuckoo+anti-join pipeline ≡ plain anti-join (U1 property)") {
+    import spark.implicits._
+    val seen = (0 until 2000).map(i => f"$i%032x")
+    val cands = (1500 until 3000).map(i =>
+      Candidate(f"$i%032x", s"http://x/$i"))
+    val expected = cands.filterNot(c => seen.contains(c.url_hash))
+      .map(_.url_hash).toSet
+
+    val seenDs = seen.toDS()
+    val candDs = cands.toDS()
+
+    val bloom = new SeenBloom(epochCapacity = 1000) // forces multi-epoch
+    bloom.mergeBatch(SeenFilter.buildBloom(seen.take(1000).toDS(), bloom), 1000)
+    bloom.mergeBatch(SeenFilter.buildBloom(seen.drop(1000).toDS(), bloom), 1000)
+
+    val got = SeenFilter.filterNew(spark, candDs, seenDs, bloom, buckets = 8)
+      .collect().map(_.url_hash).toSet
+    assert(got == expected)
+
+    // null bloom path (level 1 skipped) must agree too
+    val got2 = SeenFilter.filterNew(spark, candDs, seenDs, null, buckets = 8)
+      .collect().map(_.url_hash).toSet
+    assert(got2 == expected)
+  }
+}
