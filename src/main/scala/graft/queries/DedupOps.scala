@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a large-scale training-data pipeline, over
+ * the `documents` table: exact (hash group-by), MinHash signatures,
+ * MinHash+LSH candidate pairs (shingle → minhash → band → bucket-join),
+ * n-gram Jaccard, SimHash. Every hash is derived from md5/sha256 of
+ * deterministic strings so the DuckDB oracles reproduce values exactly;
+ * every ratio is kept in exact integer arithmetic (counts, not floats).
+ *
+ * Scale notes: the shingle explode is a narrow map (no shuffle); minhash
+ * group-bys combine map-side; the LSH band join shuffles only
+ * (doc, band-hash) pairs — the whole point of LSH at 100 TB is that the
+ * candidate join replaces the quadratic all-pairs compare. The Jaccard
+ * verifier is restricted to same-`source` candidate groups, mirroring how
+ * a production pipeline verifies only LSH-bucketed candidates.
+ */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: group on truncated SHA-256 of the full text; keep-id =
+    * min doc_id per group (the canonical survivor rule). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(substring(sha2(col("text"), 256), 1, 32).as("text_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT substr(sha256(text), 1, 32) AS text_hash,
+      |  COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Word-3-gram shingles of a doc (needs ≥3 tokens). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - 2)).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + 1),
+          element_at(col("toks"), col("i") + 2)).as("sh"))
+
+  private val shinglesSql: String =
+    """SELECT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS toks,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+
+  /** MinHash signature: 8 hash families h_j(sh) = md5(j:sh), signature =
+    * per-doc min per family. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("sh"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit(":"), col("sh"))).as("h"))
+      .groupBy("doc_id", "j")
+      .agg(min(col("h")).as("minhash"))
+
+  val minhashSignaturesSql: String =
+    s"""SELECT doc_id, j, MIN(md5(j || ':' || sh)) AS minhash
+       |FROM (SELECT doc_id, sh, unnest(generate_series(0, 7)) AS j
+       |      FROM ($shinglesSql))
+       |GROUP BY 1, 2""".stripMargin
+
+  /** MinHash+LSH near-dup candidates: 4 bands × 2 rows; docs sharing any
+    * band bucket become a candidate pair. */
+  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bands = sig
+      .withColumn("b", shiftright(col("j"), 1))
+      .groupBy("doc_id", "b")
+      .agg(md5(concat_ws("|",
+        max(when(col("j") % 2 === 0, col("minhash"))),
+        max(when(col("j") % 2 === 1, col("minhash"))))).as("band_hash"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("b"),
+      col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("b"),
+      col("band_hash"))
+    a.join(b, Seq("b", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  val lshCandidatePairsSql: String =
+    s"""WITH sig AS (${minhashSignaturesSql.replace("\n", "\n  ")}),
+       |bands AS (
+       |  SELECT doc_id, (j >> 1) AS b,
+       |    md5(MAX(CASE WHEN j % 2 = 0 THEN minhash END) || '|' ||
+       |        MAX(CASE WHEN j % 2 = 1 THEN minhash END)) AS band_hash
+       |  FROM sig GROUP BY 1, 2)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.b = b.b AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Unigram-set Jaccard over same-source candidate groups, in exact
+    * integer arithmetic (emit intersection/union counts; the ≥0.5
+    * threshold is the integer comparison 2·|∩| ≥ |∪|). */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val a = d.toDF("doc_a", "source", "toks_a")
+    val b = d.toDF("doc_b", "source", "toks_b")
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+          .as("inter_cnt"),
+        size(array_union(col("toks_a"), col("toks_b"))).cast("long")
+          .as("union_cnt"))
+      .filter(col("inter_cnt") * 2 >= col("union_cnt"))
+  }
+
+  val jaccardPairsSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_cnt,
+      |    CAST(len(a.toks) + len(b.toks)
+      |      - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_cnt
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE inter_cnt * 2 >= union_cnt""".stripMargin
+
+  /** 16-bit SimHash over distinct unigrams (token hash = first 16 bits of
+    * md5; bit b of the simhash = sign of Σ ±1 over tokens). */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("c",
+        when(expr("(h >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("c")).as("sgn"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sgn") > 0,
+        expr("cast(shiftleft(1, b) as bigint)")).otherwise(0L))
+        .as("simhash"))
+
+  val simhashSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN ((('0x' || substr(md5(tok), 1, 4))::INT >> b) & 1) = 1
+      |        THEN 1 ELSE -1 END) AS sgn
+      |  FROM (SELECT doc_id, tok, unnest(generate_series(0, 15)) AS b
+      |        FROM tok)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END)
+      |    AS BIGINT) AS simhash
+      |FROM bits GROUP BY 1""".stripMargin
+}

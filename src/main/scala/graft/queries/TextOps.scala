@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline over `documents`:
+ * language-ID (stopword-hit heuristic), quality scoring (token/distinct/
+ * stopword ratios in exact integer permille), token counting, and document
+ * fingerprinting (polynomial rolling hash over md5-derived token codes).
+ * All arithmetic is integer-exact so the DuckDB oracles match bit-for-bit.
+ */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // tiny per-language stopword lists (deterministic heuristic — the
+  // synthetic corpus shares one vocabulary, so the interesting output is
+  // the hit counts + argmax rule, not linguistic accuracy)
+  private val en = Seq("the", "a", "of", "and")
+  private val de = Seq("der", "die", "das", "und")
+  private val es = Seq("el", "la", "de", "y")
+
+  private def hits(toks: String, words: Seq[String]) =
+    size(filter(col(toks), t =>
+      t.isin(words.map(lit(_).cast("string")): _*))).cast("long")
+
+  /** Language-ID: stopword-hit counts per candidate language + argmax
+    * guess (ties → 'und'). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        hits("toks", en).as("en_hits"),
+        hits("toks", de).as("de_hits"),
+        hits("toks", es).as("es_hits"))
+      .withColumn("guess",
+        when(col("en_hits") > col("de_hits") &&
+             col("en_hits") > col("es_hits"), "en")
+          .when(col("de_hits") > col("en_hits") &&
+                col("de_hits") > col("es_hits"), "de")
+          .when(col("es_hits") > col("en_hits") &&
+                col("es_hits") > col("de_hits"), "es")
+          .otherwise("und"))
+
+  val langIdSql: String =
+    """SELECT doc_id, lang, en_hits, de_hits, es_hits,
+      |  CASE
+      |    WHEN en_hits > de_hits AND en_hits > es_hits THEN 'en'
+      |    WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+      |    WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+      |    ELSE 'und' END AS guess
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and')))
+      |      AS BIGINT) AS en_hits,
+      |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und')))
+      |      AS BIGINT) AS de_hits,
+      |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','y')))
+      |      AS BIGINT) AS es_hits
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |        FROM documents))""".stripMargin
+
+  /** Quality scoring: token counts, type-token ratio and stopword ratio in
+    * integer permille (floor division — identical in both engines). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        length(col("text")).as("n_chars_t"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        hits("toks", en ++ de ++ es).as("stop_cnt"),
+        col("n_chars_t").cast("long").as("n_chars_t"))
+      .withColumn("ttr_permille",
+        expr("(n_distinct * 1000) div n_tokens"))
+      .withColumn("stop_permille",
+        expr("(stop_cnt * 1000) div n_tokens"))
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_tokens, n_distinct, stop_cnt, n_chars_t,
+      |  (n_distinct * 1000) // n_tokens AS ttr_permille,
+      |  (stop_cnt * 1000) // n_tokens AS stop_permille
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(toks, t -> t IN
+      |      ('the','a','of','and','der','die','das','und','el','la','de','y')))
+      |      AS BIGINT) AS stop_cnt,
+      |    CAST(length(text) AS BIGINT) AS n_chars_t
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+      |        FROM documents))""".stripMargin
+
+  /** Token counting rolled up per (lang, source). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("(sum(n_tokens) * 1000) div count(1)")
+          .as("avg_tokens_permille"))
+
+  val tokenStatsSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST((SUM(n_tokens) * 1000) // COUNT(*) AS BIGINT)
+      |    AS avg_tokens_permille
+      |FROM (SELECT lang, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Document fingerprint: polynomial rolling hash over md5-derived token
+    * codes, h ← (h·131 + code) mod 1e9+7 — an order-sensitive content
+    * fingerprint (unlike the bag-of-words sketches in DedupOps). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr("""aggregate(
+                  transform(split(text, ' '),
+                    x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint)),
+                  0L,
+                  (h, t) -> (h * 131 + t) % 1000000007)""").as("fp"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+      |    (h, t) -> (h * 131 + t) % 1000000007) AS fp
+      |FROM documents""".stripMargin
+}
