@@ -1,24 +1,133 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.bench.BenchWeb
+import graft.core.CrawlConfig
+import graft.driver.CrawlDriver
+
+/**
+ * Benchmark main — prints ONE JSON line with:
+ *  - the headline metric: frontier throughput (URLs scheduled+fetched/sec)
+ *    of one full scheduling sweep over a synthetic web, measured at TWO
+ *    parallelism levels (local[8] vs local[32] — the sandbox proxy for
+ *    the N vs 4N executor clusters in BASELINE.json) plus the scaling
+ *    efficiency between them;
+ *  - per-query wall times for every oracle-checked operator at
+ *    SPARK_GRAFT_SF_DIR.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // shuffle/spill block files on tmpfs — on this container's overlay
+      // fs, file open/create serializes and starves executor threads
+      // (observed: ~12% of warm executor samples inside FileOutputStream
+      // .open0); on a real cluster this is local NVMe
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** One crawl sweep at the given parallelism: seed n hosts, run one
+    * scheduling round (fetch+extract+discover+seen-filter all n), return
+    * (urls fetched, candidates discovered, wall seconds). */
+  final case class Sweep(fetched: Long, discovered: Long, wall: Double,
+                         workWall: Double)
+
+  private def crawlSweep(cpus: Int, n: Long, outlinks: Int): Sweep = {
+    val spark = session(cpus)
+    try {
+      val t0 = 1000000L
+      // JIT/codegen warmup sweep at 1/10 scale (both sizes pay it equally,
+      // so the efficiency ratio measures the engine, not HotSpot; C2 needs
+      // a realistic pass over the generated iterators)
+      val warm = new CrawlDriver(spark, CrawlConfig(),
+        BenchWeb.web(spark, n / 10, outlinks), store = None)
+      warm.seedDs(BenchWeb.seeds(spark, n / 10), t0 - 1)
+      warm.run(t0, 1)
+      spark.sqlContext.clearCache()
+
+      // repeat and take the best wall — single-JVM local mode has high
+      // GC/page-cache variance between runs
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      val reps = (1 to 2).map { _ =>
+        val drv = new CrawlDriver(spark, CrawlConfig(), // defaults; rate 1000
+          BenchWeb.web(spark, n, outlinks), store = None)
+        drv.seedDs(BenchWeb.seeds(spark, n), t0 - 1)
+        val gc0 = gcMs
+        val start = System.nanoTime()
+        drv.run(t0, 1)
+        val wall = (System.nanoTime() - start) / 1e9
+        if (sys.env.get("SPARK_GRAFT_VERBOSE").contains("1"))
+          println(f"[sweep] cpus=$cpus wall=$wall%.2f gc=${(gcMs-gc0)/1000.0}%.2fs work=${drv.workPhaseSec}%.2f")
+        val discovered = drv.frontier.count() - n
+        spark.sqlContext.clearCache()
+        Sweep(drv.seq, discovered, wall, drv.workPhaseSec)
+      }
+      reps.minBy(_.wall)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val n = sys.env.get("SPARK_GRAFT_CRAWL_N").map(_.toLong).getOrElse {
+      if (sfDir.contains("sf0.1")) 500000L
+      else if (sfDir.contains("sf0.01")) 100000L
+      else 50000L
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val outlinks = 15
+
+    // --- per-query timings (skip the fixture crawl q00 — the crawl is
+    // benchmarked by the dedicated sweep below) --------------------------
+    val spark = session(cpus)
+    val queryTimes =
+      try {
+        SparkEntry.queries.filterNot(_._1 == "q00_crawl_trace")
+          .toSeq.sortBy(_._1).map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            val ok =
+              try { // noop sink: full computation, zero write cost
+                fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                true
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                false
+              }
+            name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          }
+      } finally spark.stop()
+
+    // --- crawl sweeps at two parallelism levels -------------------------
+    val s8  = crawlSweep(8, n, outlinks)
+    val s32 = crawlSweep(32, n, outlinks)
+    val tput8  = s8.fetched / s8.wall
+    val tput32 = s32.fetched / s32.wall
+    val eff    = (tput32 / tput8) / 4.0
+    // work-stage scaling: the compute-dominated phases (dequeue+fetch+
+    // extract, URL-seen filter) without the fixed per-stage driver latency
+    // that single-JVM local mode cannot amortize (a 1000-executor cluster
+    // runs minutes-long rounds where that latency vanishes)
+    val workTput8  = s8.fetched / s8.workWall
+    val workTput32 = s32.fetched / s32.workWall
+    val workEff    = (workTput32 / workTput8) / 4.0
+
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val totalQ = queryTimes.map(_._2).sum
+    println(
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$tput32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"n_urls":$n,"outlinks_per_page":$outlinks,"discovered":${s32.discovered},"local8_urls_per_sec":$tput8%.1f,"local32_urls_per_sec":$tput32%.1f,"local8_wall_sec":${s8.wall}%.2f,"local32_wall_sec":${s32.wall}%.2f,"scaling_efficiency":$eff%.3f,"work_local8_urls_per_sec":$workTput8%.1f,"work_local32_urls_per_sec":$workTput32%.1f,"work_scaling_efficiency":$workEff%.3f},"queries_total_sec":$totalQ%.2f}""")
   }
 }

@@ -297,6 +297,19 @@ object Step {
       }
     }
 
+  /** newFrontierEntry fast path for the discovered-URL hot loop: the
+    * canonical url and url_hash are already derived upstream — identical
+    * semantics, skips the redundant re-canonicalize + re-hash. */
+  def newFrontierEntryFromCanon(canonUrl: String, urlHash: String,
+                                now: Long): Option[FrontierEntry] =
+    Urls.canonicalRoot(canonUrl).map { root =>
+      val sh = Urls.shorthash(urlHash)
+      FrontierEntry(urlHash, sh, (sh % 256).toInt, Urls.urlHash(root),
+        canonUrl, CrawlState.New, added = now, updated = None,
+        last_modified = None, status = None, next_fetch = now,
+        error_count = 0, soft_error_count = 0, last_ttl = 0)
+    }
+
   /** Insert-if-absent of the host root (db.c:1267-1294; rate default 1000,
     * overridable per-host for fixtures, cf. crawl.conf rate). */
   def newHostEntry(canonUrl: String, now: Long,

@@ -38,6 +38,8 @@ final class CrawlDriver(
   var seq: Long = 0L
   var roundNo: Long = 0L
   var lastNow: Long = 0L
+  /** Accumulated work-phase wall seconds across rounds (bench metric). */
+  var workPhaseSec: Double = 0.0
   private var snapshot: Option[SnapshotStore.Snapshot] = None
   private val bloom = new SeenFilter.SeenBloom()
 
@@ -80,12 +82,40 @@ final class CrawlDriver(
     mergeBloom(frontier.map(_.url_hash))
   }
 
+  /** Distributed seed injection — the SeedLoader path for large seed
+    * lists (reference: crawler-add reading stdin line lists, add.c:117-177;
+    * at 10^10 scale seeds arrive as files, never through the driver). */
+  def seedDs(urls: Dataset[String], now: Long): Unit = {
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    val entries = urls
+      .flatMap(Step.newFrontierEntry(_, now, force = false))
+      .dropDuplicates("url_hash")
+      .join(frontier.select("url_hash"), Seq("url_hash"), "left_anti")
+      .as[FrontierEntry]
+    frontier = frontier.unionByName(entries).localCheckpoint(true)
+    val newH = frontier // derive hosts from the post-merge frontier slice
+      .flatMap(e => Step.newHostEntry(e.url, now, bcCfg.value))
+      .dropDuplicates("root_hash")
+      .join(hosts.select("root_hash"), Seq("root_hash"), "left_anti")
+      .as[HostEntry]
+    hosts = hosts.unionByName(newH).localCheckpoint(true)
+    mergeBloom(frontier.map(_.url_hash))
+  }
+
   private def mergeBloom(hashes: Dataset[String]): Unit = {
     val n = hashes.count()
     if (n > 0) bloom.mergeBatch(SeenFilter.buildBloom(hashes, bloom), n)
   }
 
   // ------------------------------------------------------------------ rounds
+
+  private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r  = f
+    if (verbose) println(f"[round-timing] $label: ${(System.nanoTime()-t0)/1e9}%.2fs")
+    r
+  }
 
   /** Run `rounds` scheduling rounds starting at logical time `t0`
     * (mirrors Simulator.run — clock jumps between calls model TTL expiry). */
@@ -94,37 +124,44 @@ final class CrawlDriver(
     while (r < rounds && seq < cfg.budget) {
       val now = t0 + r
       lastNow = now
-      val res = CrawlRound.run(spark, frontier, hosts, fetchLog, web,
-        cfg, now, roundNo, seq, bloom)
+      val res = timed("roundCompute")(CrawlRound.run(spark, frontier, hosts,
+        fetchLog, web, cfg, now, roundNo, seq, bloom))
+      workPhaseSec += res.fetchPhaseSec + res.seenPhaseSec
       if (res.picksCount > 0) {
         // Materialize the new state (cuts lineage; eager so cleanup is safe)
-        val nf = res.frontier.localCheckpoint(true)
-        val nh = res.hosts.localCheckpoint(true)
-        val nl = res.fetchLog.localCheckpoint(true)
-        val tr = res.trace.localCheckpoint(true)
-        val exNew = res.extracted.localCheckpoint(true)
+        val nf = timed("ckpt.frontier")(res.frontier.localCheckpoint(true))
+        val nh = timed("ckpt.hosts")(res.hosts.localCheckpoint(true))
+        val nl = timed("ckpt.fetchLog")(res.fetchLog.localCheckpoint(true))
+        val tr = timed("ckpt.trace")(res.trace.localCheckpoint(true))
+        val exNew = timed("ckpt.extracted")(res.extracted.localCheckpoint(true))
         // bloom update BEFORE cleanup (newHashes reads round internals)
-        mergeBloom(res.newHashes)
-        val changedF = res.changedFrontier.localCheckpoint(true)
-        val changedH = res.changedHosts.localCheckpoint(true)
-        val changedL = res.changedLog.localCheckpoint(true)
+        timed("bloom")(mergeBloom(res.newHashes))
+        // COW change-tracking only matters when snapshots are written
+        if (store.isDefined) {
+          val changedF = timed("ckpt.changed")(
+            res.changedFrontier.localCheckpoint(true))
+          val changedH = res.changedHosts.localCheckpoint(true)
+          val changedL = res.changedLog.localCheckpoint(true)
+          pendingChangedF = pendingChangedF.unionByName(changedF)
+            .localCheckpoint(true)
+          pendingChangedH = pendingChangedH.unionByName(changedH)
+            .localCheckpoint(true)
+          pendingChangedL = pendingChangedL.unionByName(changedL)
+            .localCheckpoint(true)
+          pendingChangedE = pendingChangedE.unionByName(exNew)
+            .localCheckpoint(true)
+          pendingTrace = pendingTrace.unionByName(tr).localCheckpoint(true)
+        }
         res.cleanup()
 
         frontier = nf; hosts = nh; fetchLog = nl
-        extracted = extracted
-          .join(exNew.select("url"), Seq("url"), "left_anti")
-          .as[ExtractedRow].unionByName(exNew).localCheckpoint(true)
-        traceAll = traceAll.unionByName(tr).localCheckpoint(true)
-        pendingTrace = pendingTrace.unionByName(tr).localCheckpoint(true)
+        timed("merge.outputs") {
+          extracted = extracted
+            .join(exNew.select("url"), Seq("url"), "left_anti")
+            .as[ExtractedRow].unionByName(exNew).localCheckpoint(true)
+          traceAll = traceAll.unionByName(tr).localCheckpoint(true)
+        }
         seq += res.picksCount
-        pendingChangedF = pendingChangedF.unionByName(changedF)
-          .localCheckpoint(true)
-        pendingChangedH = pendingChangedH.unionByName(changedH)
-          .localCheckpoint(true)
-        pendingChangedL = pendingChangedL.unionByName(changedL)
-          .localCheckpoint(true)
-        pendingChangedE = pendingChangedE.unionByName(exNew)
-          .localCheckpoint(true)
         pendingMetrics = pendingMetrics ++ Map(
           "picks"      -> (pendingMetrics.getOrElse("picks", 0L) + res.picksCount),
           "discovered" -> (pendingMetrics.getOrElse("discovered", 0L) + res.discoveredCount))

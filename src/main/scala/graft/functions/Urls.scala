@@ -171,12 +171,27 @@ object Urls {
     s"${u.scheme}://${u.host}$ps/"
   }
 
+  // Hot path (runs per discovered URL): thread-local digest (getInstance
+  // contends above ~8 threads) + table-driven hex (a Formatter per byte
+  // costs ~18µs/hash and wrecks multi-core scaling via allocation).
+  private val digestTL = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-256")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
   private def sha256Hex(s: String): String = {
-    val d  = MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = digestTL.get()
+    md.reset()
+    val d   = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(i * 2)     = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** K1: url_hash — SHA-256 hex of the canonical, fragment-free URL,

@@ -84,6 +84,13 @@ object CrawlRound {
       picksCount: Long,
       discoveredCount: Long,
       newHashes: Dataset[String],
+      /** Wall seconds of the two work phases (dequeue+fetch+extract and
+        * the URL-seen filter) — the compute-dominated portion of a round,
+        * used by the bench to report work-stage scaling separately from
+        * end-to-end (which in local mode carries fixed per-stage driver
+        * latency a real cluster amortizes). */
+      fetchPhaseSec: Double,
+      seenPhaseSec: Double,
       /** Rows that changed this round — drives COW bucket selection. */
       changedFrontier: Dataset[FrontierEntry],
       changedHosts: Dataset[HostEntry],
@@ -128,10 +135,12 @@ object CrawlRound {
       .filter(h => h.rate > 0 && h.earliest_update < now)
     val due = frontier.filter(_.next_fetch < now)
 
-    // hosts ≪ frontier (1 row/host): broadcast-hash join, no shuffle of
-    // the frontier side beyond the groupByKey exchange below.
+    // hosts ≪ frontier (1 row/host). No forced broadcast hint: a driver-built
+    // broadcast of a large host table is a serial bottleneck — AQE sees the
+    // (cached) actual sizes and picks broadcast-hash when the eligible-host
+    // side is genuinely small, shuffle join when it isn't.
     val joined: Dataset[(FrontierEntry, HostEntry)] =
-      due.joinWith(broadcast(eligibleHosts),
+      due.joinWith(eligibleHosts,
         due("root_hash") === eligibleHosts("root_hash"), "inner")
 
     // Typed per-host top-1 (north_rule's groupByKey + flatMapGroups).
@@ -157,8 +166,9 @@ object CrawlRound {
     val budgetLeft = cfg.budget - seqStart
     val ordered = picks.orderBy("k1", "k2", "k3", "k4", "k5")
     val limited =
-      if (budgetLeft >= Int.MaxValue) ordered
-      else ordered.limit(math.max(0L, budgetLeft).toInt)
+      (if (budgetLeft >= Int.MaxValue) ordered
+       else ordered.limit(math.max(0L, budgetLeft).toInt))
+        .persist() // 3 passes below (range sampling, zip sizing, consume)
     // Global trace sequence: zipWithIndex respects the range-partitioned
     // sort order; only the (small) pick set flows through it.
     val seqd: Dataset[(Pick, Long)] = spark.createDataset(
@@ -198,8 +208,19 @@ object CrawlRound {
     }
 
     // The step output fans out to 6 consumers — materialize once.
+    val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
+    var fetchPhaseSec = 0.0
+    var seenPhaseSec  = 0.0
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r  = f
+      val s  = (System.nanoTime() - t0) / 1e9
+      if (verbose) println(f"[round-timing]   $label: $s%.2fs")
+      (r, s)
+    }
     val stepOuts = outs.persist()
-    val picksCount = stepOuts.count()
+    val (picksCount, fps) = timed("fetch+process")(stepOuts.count())
+    fetchPhaseSec = fps
 
     // --- 4. merge updates -------------------------------------------------
     val updatedF = stepOuts.map(_.newF)
@@ -218,8 +239,9 @@ object CrawlRound {
       .persist()
 
     val newEntries: Dataset[FrontierEntry] = genuinelyNew
-      .flatMap(c => Step.newFrontierEntry(c.url, now, force = false))
-    val discoveredCount = genuinelyNew.count()
+      .flatMap(c => Step.newFrontierEntryFromCanon(c.url, c.url_hash, now))
+    val (discoveredCount, sps) = timed("seen-filter")(genuinelyNew.count())
+    seenPhaseSec = sps
 
     val newHostCandidates: Dataset[HostEntry] = genuinelyNew
       .flatMap(c => Step.newHostEntry(c.url, now, bcCfg.value))
@@ -259,9 +281,12 @@ object CrawlRound {
     RoundResult(newFrontier, newHostsAll, newLog, extractedNew, trace,
       picksCount, discoveredCount,
       newHashes = genuinelyNew.map(_.url_hash),
+      fetchPhaseSec = fetchPhaseSec,
+      seenPhaseSec = seenPhaseSec,
       changedFrontier = updatedF.unionByName(newEntries),
       changedHosts = updatedH.unionByName(newHosts),
       changedLog = commits.map(o => CacheRow(o.newF.url_hash, now, o.status)),
-      cleanup = () => { stepOuts.unpersist(); genuinelyNew.unpersist() })
+      cleanup = () => { stepOuts.unpersist(); genuinelyNew.unpersist()
+        limited.unpersist() })
   }
 }

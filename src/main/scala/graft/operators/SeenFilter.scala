@@ -162,13 +162,19 @@ object SeenFilter {
       buckets: Int = 32): Dataset[Candidate] = {
     import spark.implicits._
 
+    // The candidate derivation (outlink explode → canonicalize → hash →
+    // dedup shuffle) is the expensive input and feeds three branches —
+    // persist it or every branch/action recomputes the whole pipeline
+    // (exchange reuse does not cross Spark actions).
+    val cands = candidates.persist()
+
     // Level 1: bloom prefilter. definitelyNew skips all shuffles.
     val (definitelyNew, possiblySeen) =
-      if (bloom == null) (spark.emptyDataset[Candidate], candidates)
+      if (bloom == null) (spark.emptyDataset[Candidate], cands)
       else {
         val b = spark.sparkContext.broadcast(bloom)
-        (candidates.filter(c => !b.value.mightContain(c.url_hash)),
-         candidates.filter(c => b.value.mightContain(c.url_hash)))
+        (cands.filter(c => !b.value.mightContain(c.url_hash)),
+         cands.filter(c => b.value.mightContain(c.url_hash)))
       }
 
     // Level 2: cuckoo refinement per hash bucket (typed cogroup — both
@@ -179,14 +185,17 @@ object SeenFilter {
 
     val candByBucket = possiblySeen.groupByKey(c => bucketOf(c.url_hash))
     val seenByBucket = seenHashes.groupByKey(bucketOf)
-    // emits (candidate, passedCuckoo): passedCuckoo=false → definitely new
+    // emits (candidate, passedCuckoo): passedCuckoo=false → definitely new.
+    // Persisted: three consumers below — without it the cogroup (and the
+    // cuckoo build) would execute once per consumer. Unpersisted by the
+    // ContextCleaner once the caller drops its results.
     val refined = candByBucket.cogroup(seenByBucket) { (_, cands, seen) =>
       val cf = new CuckooFilter(4096)
       var n  = 0
       seen.foreach { h => cf.insert(h); n += 1 }
       if (n == 0) cands.map(c => (c, false))
       else cands.map(c => (c, cf.mightContain(c.url_hash)))
-    }
+    }.persist()
     val cuckooNew = refined.filter(!_._2).map(_._1)
     val residue   = refined.filter(_._2).map(_._1)
 
