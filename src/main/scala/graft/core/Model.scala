@@ -95,6 +95,10 @@ final case class CrawlConfig(
     licenseWhitelist: Seq[String]  = Nil,
     licenseBlacklist: Seq[String]  = Nil,
     useLodProcessor: Boolean = false,
+    /** Extension (north-star; absent in the reference): gate fetches on
+      * the host's robots.txt (RFC 9309 subset — functions/Robots.scala).
+      * Off by default so reference traces are unaffected. */
+    robotsEnabled: Boolean = false,
     /** Extended mode: html payloads extracted instead of SKIPPED (north
       * star's RDF-aware HTML-to-text; reference rdf processor skips html,
       * rdf.c:208-239). */

@@ -67,7 +67,8 @@ object Step {
       now: Long,
       cached: Option[CachedInfo],
       web: Option[WebEntry],
-      cfg: CrawlConfig): StepResult = {
+      cfg: CrawlConfig,
+      robotsBody: Option[Array[Byte]] = None): StepResult = {
 
     val force     = stateAtDequeue == CrawlState.Force
     val cacheTime = cached.map(_.updated)
@@ -87,6 +88,14 @@ object Step {
       return StepResult(url, Path.Failed, cached.map(_.status).getOrElse(0),
         st, 86400, commit = false, None, Vector.empty)
     }
+
+    // robots.txt gate, pre-fetch (north-star extension; no reference
+    // analog — off unless cfg.robotsEnabled). Disallowed → REJECTED via
+    // the same failed path as F1.
+    if (cfg.robotsEnabled &&
+        !graft.functions.Robots.urlAllowed(url, robotsBody))
+      return StepResult(url, Path.Failed, cached.map(_.status).getOrElse(0),
+        CrawlState.Rejected, 86400, commit = false, None, Vector.empty)
 
     // Simulated HTTP exchange. No entry at all ≙ connection failure → 504
     // (fetch.c:144-150: curl error maps to status 504, state FAILED).

@@ -63,6 +63,12 @@ object CrawlRound {
   final case class Pick(f: FrontierEntry, h: HostEntry,
                         k1: Int, k2: Long, k3: Long, k4: Int, k5: String)
 
+  /** A scheduled pick with its trace sequence + robots join key. */
+  final case class Sched(pick: Pick, seq: Long, robots_url: String)
+
+  /** One host's robots.txt (url = <root>robots.txt). */
+  final case class RobotsRow(url: String, body: Array[Byte])
+
   /** Everything one step produces: trace row + state updates + outputs. */
   final case class StepOut(
       seq: Long,
@@ -171,19 +177,35 @@ object CrawlRound {
         .persist() // 3 passes below (range sampling, zip sizing, consume)
     // Global trace sequence: zipWithIndex respects the range-partitioned
     // sort order; only the (small) pick set flows through it.
-    val seqd: Dataset[(Pick, Long)] = spark.createDataset(
-      limited.rdd.zipWithIndex().map { case (p, i) => (p, seqStart + i) })
+    val robotsOn = cfg.robotsEnabled
+    val seqd: Dataset[Sched] = spark.createDataset(
+      limited.rdd.zipWithIndex().map { case (p, i) =>
+        val rUrl =
+          if (!robotsOn) ""
+          else Urls.canonicalRoot(p.f.url)
+            .map(graft.functions.Robots.robotsUrl).getOrElse("")
+        Sched(p, seqStart + i, rUrl)
+      })
 
     // --- 3. simulated fetch + process ------------------------------------
-    val withWeb: Dataset[((Pick, Long), WebRow)] = seqd
-      .joinWith(web, $"_1.f.url" === web("url"), "left_outer")
-    val withCache: Dataset[(((Pick, Long), WebRow), CacheRow)] = withWeb
-      .joinWith(fetchLog, $"_1._1.f.url_hash" === fetchLog("url_hash"),
+    val withWeb: Dataset[(Sched, WebRow)] = seqd
+      .joinWith(web, seqd("pick.f.url") === web("url"), "left_outer")
+    val withCache: Dataset[((Sched, WebRow), CacheRow)] = withWeb
+      .joinWith(fetchLog, $"_1.pick.f.url_hash" === fetchLog("url_hash"),
         "left_outer")
+    // robots side: one row per host that HAS a robots.txt — small, AQE
+    // broadcasts it; empty (zero-cost join) when the gate is off
+    val robotsDs: Dataset[RobotsRow] =
+      if (!robotsOn) spark.emptyDataset[RobotsRow]
+      else web.filter(w => w.url.endsWith("/robots.txt") && w.status == 200)
+        .map(w => RobotsRow(w.url, w.body))
+    val withRobots: Dataset[(((Sched, WebRow), CacheRow), RobotsRow)] =
+      withCache.joinWith(robotsDs,
+        $"_1._1.robots_url" === robotsDs("url"), "left_outer")
 
-    val outs: Dataset[StepOut] = withCache.mapPartitions { it =>
+    val outs: Dataset[StepOut] = withRobots.mapPartitions { it =>
       val cfg = bcCfg.value
-      it.map { case (((pick, seq), webRow), cacheRow) =>
+      it.map { case ((((Sched(pick, seq, _), webRow), cacheRow), robotsRow)) =>
         val f = pick.f
         val cached = Option(cacheRow)
           .map(c => Step.CachedInfo(c.updated, c.status))
@@ -193,7 +215,7 @@ object CrawlRound {
         // A2 politeness advance at dequeue (db.c:762-790)
         val hAdvanced = Step.politenessAdvance(pick.h, now)
         val res = Step.fetchAndProcess(f.url, f.state, now, cached,
-          wEntry, cfg)
+          wEntry, cfg, Option(robotsRow).map(_.body))
         val (newF, newH) = res.path match {
           case Step.Path.Updated | Step.Path.Failed =>
             (Step.frontierUpdated(f, now, res.status, res.ttlArg, res.state),

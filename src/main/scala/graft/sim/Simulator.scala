@@ -84,8 +84,13 @@ final class Simulator(web: Map[String, Step.WebEntry], cfg: CrawlConfig) {
           // A2 politeness advance inside the dequeue (db.c:762-790)
           hosts(pick.root_hash) =
             Step.politenessAdvance(hosts(pick.root_hash), now)
+          val robotsBody =
+            if (!cfg.robotsEnabled) None
+            else graft.functions.Urls.canonicalRoot(pick.url)
+              .flatMap(r => web.get(graft.functions.Robots.robotsUrl(r)))
+              .filter(_.status == 200).map(_.body)
           val res = Step.fetchAndProcess(pick.url, pick.state, now,
-            fetchLog.get(pick.url_hash), web.get(pick.url), cfg)
+            fetchLog.get(pick.url_hash), web.get(pick.url), cfg, robotsBody)
           if (res.commit) {
             fetchLog(pick.url_hash) = Step.CachedInfo(now, res.status)
             res.extractedText.foreach(t => extracted(pick.url) = t)

@@ -88,6 +88,29 @@ class SparkCrawlSpec extends SparkTestBase {
     assert(drv.traceRows == sim.trace.toSeq)
   }
 
+  test("robots gating: engine ≡ simulator, disallowed page REJECTED") {
+    val c = cfg.copy(robotsEnabled = true)
+    val sim = freshSim(c)
+    val drv = freshDriver(c)
+    sim.run(T0, 16); drv.run(T0, 16)
+    assert(drv.traceRows == sim.trace.toSeq)
+    assert(drv.seenSet == sim.seenSet)
+    // host2's robots disallows /page3; the url is discovered + dequeued
+    // but must end REJECTED without a fetch_log commit
+    val blocked = "http://host2.example.org/page3.ttl"
+    val simState = sim.frontier.values.find(_.url == blocked)
+    if (simState.isDefined) { // reachable in the fixture link graph
+      assert(simState.get.state == graft.core.CrawlState.Rejected)
+      val sparkState = drv.frontier.collect().find(_.url == blocked)
+      assert(sparkState.map(_.state) == simState.map(_.state))
+    }
+    // allowed carve-out still crawlable
+    val carved = sim.frontier.values.find(
+      _.url == "http://host2.example.org/page5.ttl")
+    carved.foreach(f =>
+      assert(f.state != graft.core.CrawlState.Rejected))
+  }
+
   test("resume from a mid-crawl snapshot reproduces the final state") {
     val dirA = Files.createTempDirectory("graft-snap-a").toString
     val dirB = Files.createTempDirectory("graft-snap-b").toString
