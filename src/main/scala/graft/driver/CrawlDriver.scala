@@ -262,6 +262,56 @@ final class CrawlDriver(
     true
   }
 
+  // ------------------------------------------------ downstream surfaces
+
+  /** S6 mq surface (MqConsumer): next ACCEPTED row for a node slice. */
+  def mqNext(nodeId: Int, nodeCount: Int): Option[FrontierEntry] =
+    MqConsumer.next(frontier, nodeId, nodeCount)
+
+  /** S6 ack: ACCEPTED → COMPLETE (state-guarded). */
+  def mqAck(urlHash: String): Unit = {
+    frontier = MqConsumer.ack(frontier, urlHash).localCheckpoint(true)
+    if (store.isDefined) markFrontierChanged(urlHash)
+  }
+
+  /** S6 reject: ACCEPTED → FAILED (state-guarded). */
+  def mqReject(urlHash: String): Unit = {
+    frontier = MqConsumer.reject(frontier, urlHash).localCheckpoint(true)
+    if (store.isDefined) markFrontierChanged(urlHash)
+  }
+
+  private def markFrontierChanged(urlHash: String): Unit = {
+    val changed = frontier.filter(_.url_hash == urlHash)
+    pendingChangedF = pendingChangedF.unionByName(changed)
+      .localCheckpoint(true)
+  }
+
+  /** S7 partition tool (reference: crawler/partition.c:47-96): label a
+    * host root for scoped processing (F8). */
+  def setHostPartition(rootUrl: String, partition: Option[String]): Unit = {
+    val canonRoot = Urls.canonicalRoot(rootUrl).getOrElse(return)
+    hosts = hosts.map(h =>
+      if (h.root_url == canonRoot) h.copy(partition = partition) else h
+    )(hosts.encoder).localCheckpoint(true)
+  }
+
+  /** crawl-locate analog (reference: utils/crawl-locate.c:40-85): what
+    * the cache knows about a URL, without fetching. */
+  def locate(url: String): Option[(CacheRow, Option[String])] =
+    Urls.canonicalKeyUrl(url).flatMap { canon =>
+      val h = Urls.urlHash(canon)
+      fetchLog.filter(_.url_hash == h).head(1).headOption.map { row =>
+        (row, extracted.filter(_.url == canon).head(1).headOption.map(_.text))
+      }
+    }
+
+  /** `crawld -t URI` analog (reference: crawld.c:161-174, db.c:610-627):
+    * force-add one URI and run a single round over it. */
+  def testUri(url: String, t0: Long): Unit = {
+    seed(Seq(url), t0 - 1, force = true)
+    run(t0, 1)
+  }
+
   // -------------------------------------------------------------- accessors
 
   def seenSet: Set[String] = frontier.map(_.url_hash).collect().toSet

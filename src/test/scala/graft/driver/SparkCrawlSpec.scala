@@ -42,10 +42,16 @@ class SparkCrawlSpec extends SparkTestBase {
     sim.run(T0 + 7300, 6);  drv.run(T0 + 7300, 6)
   }
 
-  test("crawl ordering matches the reference trace exactly") {
+  // one shared full run for the three pure-comparison tests
+  lazy val shared: (Simulator, CrawlDriver) = {
     val sim = freshSim()
     val drv = freshDriver()
     runBoth(sim, drv)
+    (sim, drv)
+  }
+
+  test("crawl ordering matches the reference trace exactly") {
+    val (sim, drv) = shared
     val simTrace = sim.trace.toSeq
     val sparkTrace = drv.traceRows
     assert(sparkTrace.nonEmpty)
@@ -53,17 +59,13 @@ class SparkCrawlSpec extends SparkTestBase {
   }
 
   test("URL-seen set matches exactly") {
-    val sim = freshSim()
-    val drv = freshDriver()
-    runBoth(sim, drv)
+    val (sim, drv) = shared
     assert(drv.seenSet == sim.seenSet)
     assert(drv.seenSet.nonEmpty)
   }
 
   test("extracted text is byte-identical per url (input_hint invariant)") {
-    val sim = freshSim()
-    val drv = freshDriver()
-    runBoth(sim, drv)
+    val (sim, drv) = shared
     val simText = sim.extracted.toMap
     val sparkText = drv.extractedMap
     assert(sparkText.keySet == simText.keySet)
