@@ -128,26 +128,40 @@ final class CrawlDriver(
         fetchLog, web, cfg, now, roundNo, seq, bloom))
       workPhaseSec += res.fetchPhaseSec + res.seenPhaseSec
       if (res.picksCount > 0) {
-        // Materialize the new state (cuts lineage; eager so cleanup is safe)
-        val nf = timed("ckpt.frontier")(res.frontier.localCheckpoint(true))
-        val nh = timed("ckpt.hosts")(res.hosts.localCheckpoint(true))
-        val nl = timed("ckpt.fetchLog")(res.fetchLog.localCheckpoint(true))
-        val tr = timed("ckpt.trace")(res.trace.localCheckpoint(true))
-        val exNew = timed("ckpt.extracted")(res.extracted.localCheckpoint(true))
-        // bloom update BEFORE cleanup (newHashes reads round internals)
-        timed("bloom")(mergeBloom(res.newHashes))
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // Materialize the new state (cuts lineage; eager so cleanup is
+        // safe). The six materializations are independent Spark jobs over
+        // the round's cached internals — submit them concurrently so the
+        // per-job driver latency overlaps instead of summing.
+        val (nf, nh, nl, tr, exNew) = timed("ckpt.state") {
+          val fNf = Future(res.frontier.localCheckpoint(true))
+          val fNh = Future(res.hosts.localCheckpoint(true))
+          val fNl = Future(res.fetchLog.localCheckpoint(true))
+          val fTr = Future(res.trace.localCheckpoint(true))
+          val fEx = Future(res.extracted.localCheckpoint(true))
+          // bloom update BEFORE cleanup (newHashes reads round internals)
+          val fBloom = Future(mergeBloom(res.newHashes))
+          val out = (Await.result(fNf, Duration.Inf),
+            Await.result(fNh, Duration.Inf),
+            Await.result(fNl, Duration.Inf),
+            Await.result(fTr, Duration.Inf),
+            Await.result(fEx, Duration.Inf))
+          Await.result(fBloom, Duration.Inf)
+          out
+        }
         // COW change-tracking only matters when snapshots are written
-        if (store.isDefined) {
-          val changedF = timed("ckpt.changed")(
-            res.changedFrontier.localCheckpoint(true))
-          val changedH = res.changedHosts.localCheckpoint(true)
-          val changedL = res.changedLog.localCheckpoint(true)
-          pendingChangedF = pendingChangedF.unionByName(changedF)
-            .localCheckpoint(true)
-          pendingChangedH = pendingChangedH.unionByName(changedH)
-            .localCheckpoint(true)
-          pendingChangedL = pendingChangedL.unionByName(changedL)
-            .localCheckpoint(true)
+        if (store.isDefined) timed("ckpt.changed") {
+          val fF = Future(res.changedFrontier.localCheckpoint(true))
+          val fH = Future(res.changedHosts.localCheckpoint(true))
+          val fL = Future(res.changedLog.localCheckpoint(true))
+          pendingChangedF = pendingChangedF
+            .unionByName(Await.result(fF, Duration.Inf)).localCheckpoint(true)
+          pendingChangedH = pendingChangedH
+            .unionByName(Await.result(fH, Duration.Inf)).localCheckpoint(true)
+          pendingChangedL = pendingChangedL
+            .unionByName(Await.result(fL, Duration.Inf)).localCheckpoint(true)
           pendingChangedE = pendingChangedE.unionByName(exNew)
             .localCheckpoint(true)
           pendingTrace = pendingTrace.unionByName(tr).localCheckpoint(true)
@@ -156,10 +170,12 @@ final class CrawlDriver(
 
         frontier = nf; hosts = nh; fetchLog = nl
         timed("merge.outputs") {
-          extracted = extracted
+          val fExt = Future(extracted
             .join(exNew.select("url"), Seq("url"), "left_anti")
-            .as[ExtractedRow].unionByName(exNew).localCheckpoint(true)
-          traceAll = traceAll.unionByName(tr).localCheckpoint(true)
+            .as[ExtractedRow].unionByName(exNew).localCheckpoint(true))
+          val fTrA = Future(traceAll.unionByName(tr).localCheckpoint(true))
+          extracted = Await.result(fExt, Duration.Inf)
+          traceAll = Await.result(fTrA, Duration.Inf)
         }
         seq += res.picksCount
         pendingMetrics = pendingMetrics ++ Map(
