@@ -61,6 +61,7 @@ object SparkEntry {
     "q30_ann_brute"     -> (AnnOps.bruteForceTopK _),
     "q31_ann_ivf"       -> (AnnOps.ivfTopK _),
     "q32_embed_norms"   -> (AnnOps.norms _),
+    "q33_embed_neardup" -> (AnnOps.embedNearDup _),
     // multimodal plumbing
     "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
   )
@@ -86,6 +87,7 @@ object SparkEntry {
     "q30_ann_brute"     -> AnnOps.bruteForceTopKSql,
     "q31_ann_ivf"       -> AnnOps.ivfTopKSql,
     "q32_embed_norms"   -> AnnOps.normsSql,
+    "q33_embed_neardup" -> AnnOps.embedNearDupSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
   )
 }

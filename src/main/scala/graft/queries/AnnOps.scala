@@ -111,6 +111,41 @@ object AnnOps {
        |      FROM scored)
        |WHERE rn <= 3""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs (the dedup family's embedding
+    * member): candidate pairs restricted to the same coarse cell (label —
+    * at scale an LSH/k-means bucket), kept when cos ≥ 0.4 (the corpus
+    * is random noise — 0.4 is ≈3σ of the within-cell cosine null
+    * distribution, so the query returns the genuine outlier pairs; a real
+    * near-dup corpus uses ≥0.95). Exported as integer-µ cosine. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        expr(dot.format("ea", "eb")) /
+          (sqrt(expr(dot.format("ea", "ea"))) *
+           sqrt(expr(dot.format("eb", "eb")))))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        round(col("cos") * 1000000).cast("long").as("cos_e6"))
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |    ${duckDot.format("a.embedding", "b.embedding")} /
+       |      (sqrt(${duckDot.format("a.embedding", "a.embedding")}) *
+       |       sqrt(${duckDot.format("b.embedding", "b.embedding")})) AS cos
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, label,
+       |  CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM p WHERE cos >= 0.4""".stripMargin
+
   /** Per-vector L2 norm in integer micro-units. */
   def norms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)

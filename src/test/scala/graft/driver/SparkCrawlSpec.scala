@@ -113,6 +113,29 @@ class SparkCrawlSpec extends SparkTestBase {
       assert(f.state != graft.core.CrawlState.Rejected))
   }
 
+  test("LOD license processor (E5): engine ≡ simulator, unlicensed REJECTED") {
+    val c = cfg.copy(useLodProcessor = true,
+      licensePredicates = Seq(FixtureWeb.LicensePredicate),
+      licenseWhitelist = Seq(FixtureWeb.GoodLicense),
+      licenseBlacklist = Seq(FixtureWeb.BadLicense))
+    val sim = freshSim(c)
+    val drv = freshDriver(c)
+    sim.run(T0, 16); drv.run(T0, 16)
+    assert(drv.traceRows == sim.trace.toSeq)
+    assert(drv.seenSet == sim.seenSet)
+    val states = sim.frontier.values.map(f => f.url -> f.state).toMap
+    // blacklisted license (host2 page2) must be REJECTED once fetched
+    states.get(FixtureWeb.url(2, 2)).foreach(s =>
+      assert(s == graft.core.CrawlState.Rejected))
+    // a GoodLicense page stays ACCEPTED
+    val anyAccepted = sim.frontier.values.exists(f =>
+      f.state == graft.core.CrawlState.Accepted)
+    assert(anyAccepted)
+    // engine agrees row-for-row on states
+    val sparkStates = drv.frontier.collect().map(f => f.url -> f.state).toMap
+    assert(sparkStates == states)
+  }
+
   test("resume from a mid-crawl snapshot reproduces the final state") {
     val dirA = Files.createTempDirectory("graft-snap-a").toString
     val dirB = Files.createTempDirectory("graft-snap-b").toString

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/**
+ * Physical-plan hygiene: the properties that matter at 100 TB must be
+ * visible in the plan, not assumed — filters reaching the parquet scan,
+ * column pruning, broadcast of dimension tables, partial aggregation.
+ * These assertions pin them against regressions.
+ */
+class PlanSpec extends SparkTestBase {
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = {
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString
+  }
+
+  test("q04 anti-join: shipdate filter pushed to the parquet scan") {
+    val p = planOf(RelationalOps.partsNeverOrdered(spark, dir))
+    assert(p.contains("PushedFilters"), p.take(400))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01 agg: scan pruned to the 4 referenced lineitem columns") {
+    val p = planOf(RelationalOps.aggPricing(spark, dir))
+    assert(p.contains("l_returnflag") && p.contains("l_quantity"))
+    // untouched wide columns must not be read
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"), p)
+    // map-side combine: a partial aggregate below the exchange
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q03 join: nation dim broadcast, not shuffled") {
+    val p = planOf(RelationalOps.revenueByNation(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(600))
+  }
+
+  test("q13 jaccard: same-source self-join stays an equi-join (no CartesianProduct)") {
+    val p = planOf(DedupOps.jaccardPairs(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipelines") {
+    // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
+    // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
+    // pre-execution, which hides the markers — the exchange-free pipeline
+    // is the clean probe; q01's map-side combine is asserted above)
+    val p = planOf(TextOps.qualityScore(spark, dir))
+    assert(p.contains("*(1)"), p.take(400))
+  }
+}
