@@ -29,6 +29,9 @@ object Bench {
       // (observed: ~12% of warm executor samples inside FileOutputStream
       // .open0); on a real cluster this is local NVMe
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // shuffle files live in RAM — lz4 is pure CPU overhead there
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
