@@ -38,6 +38,9 @@ final class Simulator(web: Map[String, Step.WebEntry], cfg: CrawlConfig) {
   val extracted = mutable.Map.empty[String, String]                  // url → text
   val trace     = mutable.ArrayBuffer.empty[TraceRow]
   private var seq = 0L
+  /** Global round counter — continues across run() calls (matches the
+    * Spark driver's roundNo so traces stay comparable over clock jumps). */
+  private var roundNo = 0
 
   /** Seed/discovered add — insert-if-absent (db.c:1202-1294). */
   def addUrl(raw: String, now: Long, force: Boolean = false): Unit =
@@ -79,7 +82,7 @@ final class Simulator(web: Map[String, Step.WebEntry], cfg: CrawlConfig) {
       val discovered = mutable.ArrayBuffer.empty[String]
       picksAt(now).foreach { pick =>
         if (seq < cfg.budget) {
-          trace += TraceRow(seq, round, pick.url, pick.state)
+          trace += TraceRow(seq, roundNo, pick.url, pick.state)
           seq += 1
           // A2 politeness advance inside the dequeue (db.c:762-790)
           hosts(pick.root_hash) =
@@ -112,6 +115,7 @@ final class Simulator(web: Map[String, Step.WebEntry], cfg: CrawlConfig) {
       }
       discovered.foreach(addUrl(_, now))
       round += 1
+      roundNo += 1
     }
   }
 

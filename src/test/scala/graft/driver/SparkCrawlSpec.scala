@@ -35,11 +35,12 @@ class SparkCrawlSpec extends SparkTestBase {
   }
 
   // Phase 1 exercises discovery/politeness/redirect/policy paths; the
-  // clock jump past the 2h-unchanged and 1h-TTL windows exercises the
-  // refetch + If-Modified-Since/304 paths (db.c:1077-1126).
+  // clock jump past the 24h ACCEPTED TTL (processor.c:213-221) makes the
+  // crawled pages due again and exercises the refetch +
+  // If-Modified-Since/304 + unchanged-bookkeeping paths (db.c:1077-1126).
   def runBoth(sim: Simulator, drv: CrawlDriver): Unit = {
-    sim.run(T0, 16);        drv.run(T0, 16)
-    sim.run(T0 + 7300, 6);  drv.run(T0 + 7300, 6)
+    sim.run(T0, 16);         drv.run(T0, 16)
+    sim.run(T0 + 90000, 6);  drv.run(T0 + 90000, 6)
   }
 
   // one shared full run for the three pure-comparison tests
@@ -134,6 +135,40 @@ class SparkCrawlSpec extends SparkTestBase {
     // engine agrees row-for-row on states
     val sparkStates = drv.frontier.collect().map(f => f.url -> f.state).toMap
     assert(sparkStates == states)
+  }
+
+  test("alternate web topology: equality holds off the tuned fixture") {
+    // different shape + PRNG stream → different link graph, redirect/error
+    // placement relative to seeds, politeness interleaving
+    val web = FixtureWeb.generate(hosts = 7, pagesPerHost = 8, seed = 7L)
+    val c = FixtureWeb.config()
+    val sim = new Simulator(web, c)
+    val seeds = Seq(FixtureWeb.url(5, 7), FixtureWeb.url(6, 0))
+    seeds.foreach(sim.addUrl(_, T0 - 1))
+    val drv = new CrawlDriver(spark, c, CrawlRound.webFromMap(spark, web),
+      None, numBuckets = 8)
+    drv.seed(seeds, T0 - 1)
+    sim.run(T0, 12); drv.run(T0, 12)
+    assert(drv.traceRows == sim.trace.toSeq)
+    assert(drv.traceRows.nonEmpty)
+    assert(drv.seenSet == sim.seenSet)
+    assert(drv.extractedMap == sim.extracted.toMap)
+  }
+
+  test("force re-seed (J3 upsert) matches the simulator") {
+    val sim = freshSim()
+    val drv = freshDriver()
+    sim.run(T0, 6); drv.run(T0, 6)
+    // force-add an already-crawled url: next_fetch=now, state=FORCE
+    val u = FixtureWeb.url(0, 0)
+    sim.addUrl(u, T0 + 6, force = true)
+    drv.seed(Seq(u), T0 + 6, force = true)
+    sim.run(T0 + 7, 3); drv.run(T0 + 7, 3)
+    assert(drv.traceRows == sim.trace.toSeq)
+    // the forced url must have been re-dequeued in state FORCE
+    assert(sim.trace.exists(t =>
+      t.url == u && t.state_at_dequeue == graft.core.CrawlState.Force))
+    assert(drv.seenSet == sim.seenSet)
   }
 
   test("resume from a mid-crawl snapshot reproduces the final state") {
