@@ -135,6 +135,23 @@ object SeenFilter {
 
     def mightContain(urlHash: String): Boolean =
       filters.exists(_.mightContainString(urlHash))
+
+    /** Immutable copy for broadcasting: clones the mutable head epoch,
+      * shares the sealed (never-again-mutated) tail epochs. Broadcasting
+      * the live object instead is a recompute hazard — in local mode the
+      * broadcast value IS the driver's object, so a post-round mergeBatch
+      * would leak into any later recomputation of this round's lineage
+      * (cache eviction) and re-route rows non-deterministically. */
+    def snapshot(): SeenBloom = {
+      val s = new SeenBloom(epochCapacity, fpp)
+      s.filters = filters match {
+        case Nil => Nil
+        case head :: tail =>
+          val h = emptyBatch(); h.mergeInPlace(head); h :: tail
+      }
+      s.currentCount = currentCount
+      s
+    }
   }
 
   /** Build a batch bloom over a hash column on the executors
@@ -168,34 +185,23 @@ object SeenFilter {
     // (exchange reuse does not cross Spark actions).
     val cands = candidates.persist()
 
-    // Level 1: bloom prefilter. definitelyNew skips all shuffles.
+    // Level 1: bloom prefilter. definitelyNew skips all shuffles. The
+    // broadcast is an immutable per-round snapshot so recomputation of
+    // this round's lineage is deterministic.
     val (definitelyNew, possiblySeen) =
       if (bloom == null) (spark.emptyDataset[Candidate], cands)
       else {
-        val b = spark.sparkContext.broadcast(bloom)
+        val b = spark.sparkContext.broadcast(bloom.snapshot())
         (cands.filter(c => !b.value.mightContain(c.url_hash)),
          cands.filter(c => b.value.mightContain(c.url_hash)))
       }
 
-    // Level 2: cuckoo refinement per hash bucket (typed cogroup — both
-    // sides shuffle on the same key, so the exchange is shared with the
-    // level-3 join's partitioning).
-    def bucketOf(h: String): Int =
-      (java.lang.Long.parseLong(h.substring(0, 8), 16) % buckets).toInt
-
-    val candByBucket = possiblySeen.groupByKey(c => bucketOf(c.url_hash))
-    val seenByBucket = seenHashes.groupByKey(bucketOf)
-    // emits (candidate, passedCuckoo): passedCuckoo=false → definitely new.
-    // Persisted: three consumers below — without it the cogroup (and the
-    // cuckoo build) would execute once per consumer. Unpersisted by the
-    // ContextCleaner once the caller drops its results.
-    val refined = candByBucket.cogroup(seenByBucket) { (_, cands, seen) =>
-      val cf = new CuckooFilter(4096)
-      var n  = 0
-      seen.foreach { h => cf.insert(h); n += 1 }
-      if (n == 0) cands.map(c => (c, false))
-      else cands.map(c => (c, cf.mightContain(c.url_hash)))
-    }.persist()
+    // Level 2 (emits (candidate, passedCuckoo); passedCuckoo=false →
+    // definitely new). Persisted: three consumers below — without it the
+    // cogroup (and the cuckoo build) would execute once per consumer.
+    // Unpersisted by the ContextCleaner once the caller drops its results.
+    val refined = cuckooRefine(spark, possiblySeen, seenHashes, buckets)
+      .persist()
     val cuckooNew = refined.filter(!_._2).map(_._1)
     val residue   = refined.filter(_._2).map(_._1)
 
@@ -205,5 +211,35 @@ object SeenFilter {
       .as[Candidate]
 
     definitelyNew.union(cuckooNew).union(exactNew)
+  }
+
+  /**
+   * Level 2: cuckoo refinement per hash bucket (typed cogroup — both sides
+   * shuffle on the same key, so the exchange is shared with the level-3
+   * join's partitioning). The bucket's seen hashes are buffered so the
+   * cuckoo table is sized from the ACTUAL count (a fixed-capacity table
+   * saturates on big buckets, spilling every further key to the overflow
+   * set and degrading to a slow hash-set); the buffer is one bucket's keys,
+   * bounded by choosing `buckets` so a slice fits task memory.
+   */
+  def cuckooRefine(
+      spark: SparkSession,
+      candidates: Dataset[Candidate],
+      seenHashes: Dataset[String],
+      buckets: Int): Dataset[(Candidate, Boolean)] = {
+    import spark.implicits._
+    def bucketOf(h: String): Int =
+      (java.lang.Long.parseLong(h.substring(0, 8), 16) % buckets).toInt
+    val candByBucket = candidates.groupByKey(c => bucketOf(c.url_hash))
+    val seenByBucket = seenHashes.groupByKey(bucketOf)
+    candByBucket.cogroup(seenByBucket) { (_, cands, seen) =>
+      val arr = seen.toArray
+      if (arr.isEmpty) cands.map(c => (c, false))
+      else {
+        val cf = new CuckooFilter(arr.length)
+        arr.foreach(cf.insert)
+        cands.map(c => (c, cf.mightContain(c.url_hash)))
+      }
+    }
   }
 }

@@ -40,6 +40,8 @@ object MultimodalOps {
 
   /** Batch feature extraction — one partition at a time, zero shuffles
     * (the mapInPandas-equivalent shape). */
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -47,9 +49,16 @@ object MultimodalOps {
       it.map { a =>
         val (w, h, f) = decodeStub(a.payload)
         md.reset()
-        val sum = md.digest(a.payload).map(b => f"${b & 0xff}%02x").mkString
+        val d   = md.digest(a.payload)
+        val out = new Array[Char](d.length * 2) // table-driven hex: a
+        var i   = 0 // Formatter per byte allocates and wrecks >8-thread scaling
+        while (i < d.length) {
+          out(i * 2)     = hexChars((d(i) >> 4) & 0xf)
+          out(i * 2 + 1) = hexChars(d(i) & 0xf)
+          i += 1
+        }
         AssetFeatures(a.asset_id, a.media_type, a.payload.length.toLong,
-          w, h, f, sum)
+          w, h, f, new String(out))
       }
     }
   }

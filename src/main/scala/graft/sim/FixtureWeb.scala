@@ -109,9 +109,9 @@ object FixtureWeb {
     b += entry(url(0, 5) + "old", turtle(url(0, 5) + "old", Nil, None),
       warcTs = 1L)
     // robots.txt for host2 (only consulted when cfg.robotsEnabled; the
-    // url is never linked, so disabled-mode traces are unaffected):
-    // blocks /page3* except the exact allowed /page3.ttl... no — blocks
-    // /page3 prefix outright and /page5 with a longer Allow carve-out.
+    // url is never linked, so disabled-mode traces are unaffected).
+    // Semantics: Disallow the /page3 and /page5 prefixes, with a longer
+    // Allow carve-out that re-permits exactly /page5.ttl.
     b += entry("http://host2.example.org/robots.txt",
       "# fixture robots\nUser-agent: *\nDisallow: /page3\n" +
         "Disallow: /page5\nAllow: /page5.ttl\n",

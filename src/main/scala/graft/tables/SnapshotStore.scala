@@ -61,11 +61,14 @@ final class SnapshotStore(rootDir: String) {
   private def manifestPath(v: Int): Path = snapsDir.resolve(f"v$v%06d.json")
 
   def latestVersion: Option[Int] = {
-    val vs = Files.list(snapsDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{6}\\.json") =>
-        s.substring(1, 7).toInt }
-      .toSeq
+    val stream = Files.list(snapsDir)
+    val vs =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d{6}\\.json") =>
+          s.substring(1, 7).toInt }
+        .toSeq
+      finally stream.close()
     if (vs.isEmpty) None else Some(vs.max)
   }
 

@@ -21,6 +21,28 @@ class SeenFilterSpec extends SparkTestBase {
     keys.foreach(k => assert(cf.mightContain(k)))
   }
 
+  test("level-2 residue on a 100k-seen bucket stays under bloom-fpp × candidates") {
+    // The cuckoo must be sized from the bucket's actual seen count: a
+    // fixed 4096-slot table saturates at ~15k keys and every further key
+    // spills to the overflow set, exploding the level-3 residue. With
+    // count-based sizing the residue is only cuckoo false-positives
+    // (~0.01%), far below the 1% bloom-fpp budget the level exists to beat.
+    import spark.implicits._
+    val seen  = (0 until 100000).map(i => f"$i%032x").toDS()
+    val cands = (200000 until 210000).map(i =>
+      Candidate(f"$i%032x", s"http://x/$i")).toDS() // all genuinely new
+    val refined = SeenFilter.cuckooRefine(spark, cands, seen, buckets = 1)
+    val residue = refined.filter(_._2).count()
+    assert(residue <= (0.01 * 10000).toLong,
+      s"residue $residue exceeds bloom-fpp budget")
+    // and no false "new": a truly-seen candidate must stay in the residue
+    val seenCands = (0 until 1000).map(i =>
+      Candidate(f"$i%032x", s"http://x/$i")).toDS()
+    val kept = SeenFilter.cuckooRefine(spark, seenCands, seen, buckets = 1)
+      .filter(_._2).count()
+    assert(kept == 1000L)
+  }
+
   test("bloom+cuckoo+anti-join pipeline ≡ plain anti-join (U1 property)") {
     import spark.implicits._
     val seen = (0 until 2000).map(i => f"$i%032x")
