@@ -166,6 +166,198 @@ object Extract {
     out.result()
   }
 
+  // ---------------------------------------------------------------- RDF/XML
+
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  /**
+   * E1: RDF/XML parser (reference: librdf via rdf.c:208-239,270-328) —
+   * the subset LOD actually serves, via the JDK's StAX pull parser:
+   *  - node elements: `rdf:Description rdf:about=...` or a typed element
+   *    (emits an rdf:type triple); rdf:about resolved against the base;
+   *    subjects without rdf:about (blank nodes) are skipped (subset);
+   *  - property elements: `rdf:resource` attribute → resource object;
+   *    nested node element → its triples, then the linking triple (raptor
+   *    statement order); text content → literal (xml:lang / rdf:datatype
+   *    consumed, not stored — same as the Turtle parser).
+   * Malformed XML → empty vector, which Step maps to FAILED exactly like
+   * librdf erroring out (processor.c:204-208).
+   */
+  def parseRdfXml(body: String, baseUrl: String): Vector[Triple] = {
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants => C}
+    val out = Vector.newBuilder[Triple]
+    try {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      val r = f.createXMLStreamReader(new java.io.StringReader(body))
+
+      def resolveUri(u: String): String =
+        if (u.isEmpty) baseUrl else Urls.resolve(baseUrl, u).getOrElse(u)
+      def rdfAttr(name: String): Option[String] =
+        Option(r.getAttributeValue(RdfNs, name))
+      def qnameUri: String = Option(r.getNamespaceURI).getOrElse("") +
+        r.getLocalName
+
+      /** Consume the element at the cursor (START_ELEMENT) entirely. */
+      def skipElement(): Unit = {
+        var depth = 1
+        while (depth > 0 && r.hasNext) r.next() match {
+          case C.START_ELEMENT => depth += 1
+          case C.END_ELEMENT   => depth -= 1
+          case _               =>
+        }
+      }
+
+      /** Parse a node element at the cursor; returns its subject URI.
+        * Consumes through the matching END_ELEMENT. */
+      def parseNode(): Option[String] = {
+        val isDescription =
+          r.getNamespaceURI == RdfNs && r.getLocalName == "Description"
+        val typeUri = qnameUri
+        rdfAttr("about") match {
+          case None => skipElement(); None // blank node: outside the subset
+          case Some(a) =>
+            val subj = resolveUri(a)
+            if (!isDescription)
+              out += Triple(subj, RdfType, typeUri, objIsResource = true)
+            // children are property elements
+            var open = true
+            while (open && r.hasNext) r.next() match {
+              case C.START_ELEMENT => parseProperty(subj)
+              case C.END_ELEMENT   => open = false
+              case _               =>
+            }
+            Some(subj)
+        }
+      }
+
+      /** Parse a property element at the cursor, owned by `subj`. */
+      def parseProperty(subj: String): Unit = {
+        val pred = qnameUri
+        rdfAttr("resource") match {
+          case Some(res) =>
+            out += Triple(subj, pred, resolveUri(res), objIsResource = true)
+            skipElement()
+          case None =>
+            val sb = new StringBuilder
+            var nested: Option[String] = None
+            var open = true
+            while (open && r.hasNext) r.next() match {
+              case C.CHARACTERS | C.CDATA => sb.append(r.getText)
+              case C.START_ELEMENT        => nested = parseNode()
+              case C.END_ELEMENT          => open = false
+              case _                      =>
+            }
+            nested match {
+              case Some(n) =>
+                out += Triple(subj, pred, n, objIsResource = true)
+              case None =>
+                out += Triple(subj, pred, sb.toString, objIsResource = false)
+            }
+        }
+      }
+
+      // advance to the document element; rdf:RDF wraps node elements, any
+      // other root IS a node element
+      while (r.hasNext && r.getEventType != C.START_ELEMENT) r.next()
+      if (r.getEventType == C.START_ELEMENT) {
+        if (r.getNamespaceURI == RdfNs && r.getLocalName == "RDF") {
+          var open = true
+          while (open && r.hasNext) r.next() match {
+            case C.START_ELEMENT => parseNode()
+            case C.END_ELEMENT   => open = false
+            case _               =>
+          }
+        } else parseNode()
+      }
+      r.close()
+      out.result()
+    } catch { case _: Exception => Vector.empty }
+  }
+
+  // ---------------------------------------------------------------- N-Quads
+
+  /**
+   * E1: N-Quads parser (rdf.c:231-235 routes application/n-quads to
+   * librdf's nquads parser). Line-oriented: `<s> <p> (<o>|"lit") [<g>] .`
+   * — the optional 4th (graph) term is accepted and DISCARDED: librdf
+   * stores context off the statement, and both the node harvest and the
+   * statement print iterate s/p/o only (rdf.c:316-327). Blank-node labels
+   * are kept verbatim as `_:x` terms (fixtures don't use them; the outlink
+   * harvest's scheme filter drops them). A malformed line aborts the
+   * statement stream, keeping what parsed so far (librdf error behavior).
+   */
+  def parseNQuads(body: String, baseUrl: String): Vector[Triple] = {
+    val out = Vector.newBuilder[Triple]
+    def resolveUri(u: String): String =
+      if (u.isEmpty) baseUrl else Urls.resolve(baseUrl, u).getOrElse(u)
+
+    val lines = body.linesIterator
+    var ok = true
+    while (ok && lines.hasNext) {
+      val line = lines.next().trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        // tokenize one statement line
+        var i = 0
+        val n = line.length
+        var terms = Vector.empty[(String, Boolean)] // (value, isResource)
+        var dot   = false
+        var bad   = false
+        while (!bad && !dot && i < n) {
+          val c = line.charAt(i)
+          if (c.isWhitespace) i += 1
+          else if (c == '<') {
+            val e = line.indexOf('>', i)
+            if (e == -1) bad = true
+            else { terms :+= (resolveUri(line.substring(i + 1, e)), true); i = e + 1 }
+          } else if (c == '"') {
+            val sb = new StringBuilder
+            i += 1
+            var closed = false
+            while (!closed && i < n) {
+              val ch = line.charAt(i)
+              if (ch == '\\' && i + 1 < n) {
+                line.charAt(i + 1) match {
+                  case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+                  case 'r' => sb.append('\r'); case x   => sb.append(x)
+                }
+                i += 2
+              } else if (ch == '"') { closed = true; i += 1 }
+              else { sb.append(ch); i += 1 }
+            }
+            if (!closed) bad = true
+            else {
+              // optional @lang / ^^<datatype> — consumed, not stored
+              if (i < n && line.charAt(i) == '@') {
+                while (i < n && !line.charAt(i).isWhitespace) i += 1
+              } else if (i + 1 < n && line.charAt(i) == '^' &&
+                         line.charAt(i + 1) == '^') {
+                i += 2
+                if (i < n && line.charAt(i) == '<') {
+                  val e = line.indexOf('>', i)
+                  i = if (e == -1) n else e + 1
+                } else while (i < n && !line.charAt(i).isWhitespace) i += 1
+              }
+              terms :+= (sb.toString, false)
+            }
+          } else if (c == '_' && i + 1 < n && line.charAt(i + 1) == ':') {
+            val st = i
+            while (i < n && !line.charAt(i).isWhitespace &&
+                   line.charAt(i) != '.') i += 1
+            terms :+= (line.substring(st, i), true)
+          } else if (c == '.') { dot = true; i += 1 }
+          else bad = true
+        }
+        if (bad || !dot || terms.length < 3 || terms.length > 4 ||
+            !terms(0)._2 || !terms(1)._2) ok = false
+        else out += Triple(terms(0)._1, terms(1)._1,
+          terms(2)._1, terms(2)._2) // 4th (graph) term discarded
+      }
+    }
+    out.result()
+  }
+
   // ----------------------------------------------------------------- HTML
 
   private val TagRe    = "(?s)<[^>]*>".r
@@ -200,10 +392,14 @@ object Extract {
       : (String, Vector[Triple]) = {
     val body = new String(payload, StandardCharsets.UTF_8)
     parser match {
-      case "turtle" | "ntriples" | "nquads" | "rdfxml" =>
-        // rdfxml payloads in fixtures are emitted as the turtle subset too
-        // (the parser name drives branch selection, not syntax, in-sandbox).
+      case "turtle" | "ntriples" =>
         val ts = parseTurtle(body, url)
+        (ts.map(_.renderNt).mkString("\n"), ts)
+      case "nquads" =>
+        val ts = parseNQuads(body, url)
+        (ts.map(_.renderNt).mkString("\n"), ts)
+      case "rdfxml" =>
+        val ts = parseRdfXml(body, url)
         (ts.map(_.renderNt).mkString("\n"), ts)
       case "html" =>
         (htmlText(body), Vector.empty)

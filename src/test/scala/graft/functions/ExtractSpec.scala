@@ -51,6 +51,69 @@ class ExtractSpec extends AnyFunSuite {
       "<http://e.org/doc> <http://p.org/q> <http://x.org/> .")
   }
 
+  test("E1: rdf/xml — Description/about, rdf:resource, literal, relative URIs") {
+    val ts = parseRdfXml(
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:dct="http://purl.org/dc/terms/">
+        |<rdf:Description rdf:about="http://e.org/doc"><dct:title>T1</dct:title><dct:references rdf:resource="/a"/><dct:references rdf:resource="http://x.org/b"/></rdf:Description>
+        |</rdf:RDF>""".stripMargin, "http://e.org/doc")
+    assert(ts == Vector(
+      Triple("http://e.org/doc", "http://purl.org/dc/terms/title", "T1", false),
+      Triple("http://e.org/doc", "http://purl.org/dc/terms/references",
+        "http://e.org/a", true),
+      Triple("http://e.org/doc", "http://purl.org/dc/terms/references",
+        "http://x.org/b", true)))
+  }
+
+  test("E1: rdf/xml — typed node emits rdf:type; nested Description emits " +
+       "inner triples then the linking triple (raptor order)") {
+    val ts = parseRdfXml(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:foaf="http://xmlns.com/foaf/0.1/" xmlns:dct="http://purl.org/dc/terms/">
+        |<foaf:Document rdf:about="http://e.org/d"><dct:creator><rdf:Description rdf:about="http://e.org/alice"><foaf:name>Alice</foaf:name></rdf:Description></dct:creator></foaf:Document>
+        |</rdf:RDF>""".stripMargin, "http://e.org/d")
+    assert(ts == Vector(
+      Triple("http://e.org/d", RdfType, "http://xmlns.com/foaf/0.1/Document", true),
+      Triple("http://e.org/alice", "http://xmlns.com/foaf/0.1/name", "Alice", false),
+      Triple("http://e.org/d", "http://purl.org/dc/terms/creator",
+        "http://e.org/alice", true)))
+  }
+
+  test("E1: rdf/xml — malformed XML and blank (no-about) nodes handled") {
+    assert(parseRdfXml("<rdf:RDF><unclosed", "http://e.org/") == Vector.empty)
+    assert(parseRdfXml("not xml at all", "http://e.org/") == Vector.empty)
+    // node without rdf:about (blank) is skipped, siblings still parse
+    val ts = parseRdfXml(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:d="http://p.org/">
+        |<rdf:Description><d:p>anon</d:p></rdf:Description>
+        |<rdf:Description rdf:about="http://e.org/x"><d:p rdf:resource="http://o.org/"/></rdf:Description>
+        |</rdf:RDF>""".stripMargin, "http://e.org/")
+    assert(ts == Vector(
+      Triple("http://e.org/x", "http://p.org/p", "http://o.org/", true)))
+  }
+
+  test("E1: nquads — 4th graph term accepted and discarded; 3-term lines " +
+       "still work; literals with lang/datatype/escapes") {
+    val ts = parseNQuads(
+      """# comment
+        |<http://e.org/s> <http://p.org/p> <http://o.org/> <http://g.org/g1> .
+        |<http://e.org/s> <http://p.org/t> "hi \"q\""@en <http://g.org/g1> .
+        |<http://e.org/s> <http://p.org/u> "1"^^<http://www.w3.org/2001/XMLSchema#int> .
+        |""".stripMargin, "http://e.org/s")
+    assert(ts == Vector(
+      Triple("http://e.org/s", "http://p.org/p", "http://o.org/", true),
+      Triple("http://e.org/s", "http://p.org/t", "hi \"q\"", false),
+      Triple("http://e.org/s", "http://p.org/u", "1", false)))
+  }
+
+  test("E1: nquads — malformed line aborts the stream, keeping the prefix") {
+    val ts = parseNQuads(
+      """<http://e.org/s> <http://p.org/p> <http://o.org/> .
+        |<http://e.org/s> <http://p.org/p> .
+        |<http://e.org/s> <http://p.org/q> <http://o2.org/> .
+        |""".stripMargin, "http://e.org/s")
+    assert(ts.size == 1)
+  }
+
   test("E6: html text — tags stripped, scripts dropped, entities, ws-normalized") {
     val html = """<html><head><script>var x=1;</script><style>b{}</style></head>
       |<body><h1>Title</h1><p>Hello &amp; goodbye &lt;x&gt;.</p></body></html>"""
