@@ -93,6 +93,29 @@ object Bench {
     (pairs.map(_._1).minBy(_.wall), pairs.map(_._2).minBy(_.wall))
   }
 
+  /** Multi-round sweep over the flatness web: ~n fetches/round while the
+    * frontier grows ~16× — evidence that per-round wall tracks per-round
+    * WORK, not total frontier size (incremental base+delta state). */
+  private def flatnessSweep(n: Long, rounds: Int,
+                            outlinks: Int): (Vector[Double], Vector[Long]) = {
+    val spark = session(32)
+    try {
+      val t0  = 1000000L
+      val drv = new CrawlDriver(spark, CrawlConfig(),
+        BenchWeb.flatWeb(spark, n, outlinks), store = None)
+      drv.seedDs(BenchWeb.flatSeeds(spark, n), t0 - 1)
+      val rows = Vector.newBuilder[Long]
+      // stride 2 logical seconds: the ≥1s politeness floor makes a host
+      // eligible every OTHER second (earliest_update < now is strict), so
+      // +1 strides would interleave empty rounds into the measurement
+      (0 until rounds).foreach { r =>
+        drv.run(t0 + 2L * r, 1)
+        rows += drv.frontierRows
+      }
+      (drv.roundWallSec, rows.result())
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -129,17 +152,41 @@ object Bench {
     val tput32 = s32.fetched / s32.wall
     val eff    = (tput32 / tput8) / 4.0
     // work-stage scaling: the compute-dominated phases (dequeue+fetch+
-    // extract, URL-seen filter) without the fixed per-stage driver latency
-    // that single-JVM local mode cannot amortize (a 1000-executor cluster
-    // runs minutes-long rounds where that latency vanishes)
+    // extract, URL-seen filter + delta materialization) without the fixed
+    // per-job driver latency that single-JVM local mode cannot amortize
     val workTput8  = s8.fetched / s8.workWall
     val workTput32 = s32.fetched / s32.workWall
     val workEff    = (workTput32 / workTput8) / 4.0
 
+    // --- big-N point: one sweep pair with ≥30s of work per round so the
+    // fixed driver latency is <5% and the efficiency number is load-bearing
+    val bigN = sys.env.get("SPARK_GRAFT_CRAWL_BIGN").map(_.toLong)
+      .getOrElse(n * 4)
+    val big8  = oneSweep(8, bigN, outlinks)
+    val big32 = oneSweep(32, bigN, outlinks)
+    val bigT8  = big8.fetched / big8.wall
+    val bigT32 = big32.fetched / big32.wall
+    val bigEff = (bigT32 / bigT8) / 4.0
+    val bigWorkEff =
+      ((big32.fetched / big32.workWall) / (big8.fetched / big8.workWall)) / 4.0
+
+    // --- flatness: per-round wall while the frontier grows ~16× ---------
+    val flatN = sys.env.get("SPARK_GRAFT_FLAT_N").map(_.toLong)
+      .getOrElse(math.max(n / 10, 20000L))
+    val flatRounds = 8
+    val (flatWalls, flatRows) = flatnessSweep(flatN, flatRounds, outlinks)
+    // skip round 1 (the one genuinely bigger round: 15n discoveries) and
+    // compare late rounds to early steady-state rounds
+    val early = flatWalls.slice(1, 3); val late = flatWalls.takeRight(2)
+    val flatRatio = (late.sum / late.size) / (early.sum / early.size)
+    val growth = if (flatRows.nonEmpty) flatRows.last.toDouble / flatN else 0.0
+
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val totalQ = queryTimes.map(_._2).sum
+    val fw = flatWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
+    val fr = flatRows.mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$tput32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"n_urls":$n,"outlinks_per_page":$outlinks,"discovered":${s32.discovered},"local8_urls_per_sec":$tput8%.1f,"local32_urls_per_sec":$tput32%.1f,"local8_wall_sec":${s8.wall}%.2f,"local32_wall_sec":${s32.wall}%.2f,"scaling_efficiency":$eff%.3f,"work_local8_urls_per_sec":$workTput8%.1f,"work_local32_urls_per_sec":$workTput32%.1f,"work_scaling_efficiency":$workEff%.3f},"queries_total_sec":$totalQ%.2f}""")
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$tput32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"n_urls":$n,"outlinks_per_page":$outlinks,"discovered":${s32.discovered},"local8_urls_per_sec":$tput8%.1f,"local32_urls_per_sec":$tput32%.1f,"local8_wall_sec":${s8.wall}%.2f,"local32_wall_sec":${s32.wall}%.2f,"scaling_efficiency":$eff%.3f,"work_local8_urls_per_sec":$workTput8%.1f,"work_local32_urls_per_sec":$workTput32%.1f,"work_scaling_efficiency":$workEff%.3f},"crawl_big":{"n_urls":$bigN,"local8_urls_per_sec":$bigT8%.1f,"local32_urls_per_sec":$bigT32%.1f,"local8_wall_sec":${big8.wall}%.2f,"local32_wall_sec":${big32.wall}%.2f,"scaling_efficiency":$bigEff%.3f,"work_scaling_efficiency":$bigWorkEff%.3f},"flatness":{"n":$flatN,"rounds":$flatRounds,"wall_per_round_sec":$fw,"frontier_rows_per_round":$fr,"frontier_growth_x":$growth%.1f,"late_vs_early_wall_ratio":$flatRatio%.2f},"queries_total_sec":$totalQ%.2f}""")
   }
 }

@@ -39,13 +39,17 @@ object BenchWeb {
     sb.toString
   }
 
+  /** Shared raw header block (one constant — zero per-row allocation). */
+  val OkTurtleHeaders: String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/turtle\r\n"
+
   /** The simulated web: n seed pages, generated per-partition. */
   def web(spark: SparkSession, n: Long, outlinks: Int): Dataset[WebRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       WebRow(seedUrl(i), 900000L,
         body(i, n, outlinks).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        200, "text/turtle", None, None, Nil)
+        OkTurtleHeaders)
     }
   }
 
@@ -53,5 +57,43 @@ object BenchWeb {
   def seeds(spark: SparkSession, n: Long): Dataset[String] = {
     import spark.implicits._
     spark.range(n).map(i => seedUrl(i))
+  }
+
+  // --- flatness web -------------------------------------------------------
+  // Docs stay on the n seed hosts and interlink within a bounded universe
+  // of n*16 docs, so a multi-round crawl keeps fetching ~n URLs/round
+  // (politeness: one per host) while the frontier grows ~16×. This is the
+  // demo shape for the incremental-state claim: per-round wall must track
+  // per-round WORK, not total frontier size.
+
+  def flatUrl(d: Long, n: Long): String =
+    s"http://h${d % n}.bench.example.org/doc$d.ttl"
+
+  def flatBody(d: Long, n: Long, outlinks: Int): String = {
+    val self = flatUrl(d, n)
+    val sb = new StringBuilder(outlinks * 64 + 128)
+    sb.append(s"""<$self> <http://purl.org/dc/terms/title> "Flat doc $d" .\n""")
+    var j = 0
+    while (j < outlinks) {
+      val t = mix(d * 197 + j * 13 + 7) % (n * 16)
+      sb.append(s"<$self> <http://purl.org/dc/terms/references> <${flatUrl(t, n)}> .\n")
+      j += 1
+    }
+    sb.toString
+  }
+
+  def flatWeb(spark: SparkSession, n: Long, outlinks: Int): Dataset[WebRow] = {
+    import spark.implicits._
+    spark.range(n * 16).map { d =>
+      WebRow(flatUrl(d, n), 900000L,
+        flatBody(d, n, outlinks)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        OkTurtleHeaders)
+    }
+  }
+
+  def flatSeeds(spark: SparkSession, n: Long): Dataset[String] = {
+    import spark.implicits._
+    spark.range(n).map(d => flatUrl(d, n))
   }
 }

@@ -58,13 +58,12 @@ final case class PageRow(
     text: String,
     lang: String)
 
-/** Simulated HTTP envelope per url (FIXTURES.md §2). */
+/** Simulated HTTP envelope per url (FIXTURES.md §2): the raw response
+  * header block. Status/type/redirect/Link are NOT materialized — they are
+  * parsed in-dataflow by Step.WebEntry (X7; libcrawl/fetch.c:497-552).
+  * Joined with `pages` via CrawlRound.webFromTables (J4). */
 final case class FetchMeta(
     url: String,
-    status: Int,
-    content_type: String,
-    location: Option[String],
-    content_location: Option[String],
     headers_raw: String)
 
 /** Result of one simulated fetch+process of one URL (CRAWLOBJ analog). */

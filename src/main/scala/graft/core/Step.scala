@@ -27,15 +27,27 @@ object Step {
   /** What the cache (fetch_log) knows about a URL. */
   final case class CachedInfo(updated: Long, status: Int)
 
-  /** What the simulated web knows about a URL (pages ⋈ fetch_meta). */
+  /** What the simulated web knows about a URL: payload + the raw response
+    * header block (pages ⋈ fetch_meta). Everything schedule-relevant —
+    * status, content type, redirect target, Content-Location, Link headers
+    * — is derived by parsing the block, so X7 runs IN the dataflow exactly
+    * where the reference builds its header map from the wire bytes
+    * (libcrawl/fetch.c:497-552); the status line sits under the ":" key
+    * (fetch.c:519), duplicate headers fold into arrays, CRs are trimmed. */
   final case class WebEntry(
       warcTs: Long,
       body: Array[Byte],
-      status: Int,
-      contentType: String,
-      location: Option[String],
-      contentLocation: Option[String],
-      linkHeaders: Seq[String])
+      headersRaw: String) {
+    lazy val headers: Map[String, Seq[String]] =
+      Headers.parseHeaderBlock(headersRaw)
+    def status: Int = Headers.statusCode(headers).getOrElse(0)
+    def contentType: String =
+      Headers.header(headers, "Content-Type").getOrElse("")
+    def location: Option[String] = Headers.header(headers, "Location")
+    def contentLocation: Option[String] =
+      Headers.header(headers, "Content-Location")
+    def linkHeaders: Seq[String] = Headers.values(headers, "Link")
+  }
 
   /** Which queue-update path fired (exactly one per fetch —
     * fetch.c:226-251). */

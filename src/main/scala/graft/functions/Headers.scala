@@ -60,6 +60,44 @@ object Headers {
       case (k, vs) if k.equalsIgnoreCase(name) && vs.nonEmpty => vs.last
     }
 
+  /** Case-insensitive all-values lookup (duplicate headers were folded
+    * into the array in wire order). */
+  def values(hs: Map[String, Seq[String]], name: String): Seq[String] =
+    hs.collectFirst { case (k, vs) if k.equalsIgnoreCase(name) => vs }
+      .getOrElse(Nil)
+
+  /** Render a response header block — the fixture/bench-side encoder, the
+    * inverse of parseHeaderBlock. Emits CRLF endings so the parser's
+    * CR-trim path is exercised by every simulated fetch. */
+  def renderHeaderBlock(
+      status: Int, contentType: String,
+      location: Option[String] = None,
+      contentLocation: Option[String] = None,
+      linkHeaders: Seq[String] = Nil): String = {
+    val sb = new StringBuilder(64)
+    sb.append("HTTP/1.1 ").append(status).append(' ')
+      .append(reason(status)).append("\r\n")
+    if (contentType.nonEmpty)
+      sb.append("Content-Type: ").append(contentType).append("\r\n")
+    location.foreach(l => sb.append("Location: ").append(l).append("\r\n"))
+    contentLocation.foreach(l =>
+      sb.append("Content-Location: ").append(l).append("\r\n"))
+    linkHeaders.foreach(l => sb.append("Link: ").append(l).append("\r\n"))
+    sb.toString
+  }
+
+  private def reason(status: Int): String = status match {
+    case 200 => "OK"
+    case 301 => "Moved Permanently"
+    case 302 => "Found"
+    case 303 => "See Other"
+    case 304 => "Not Modified"
+    case 404 => "Not Found"
+    case 406 => "Not Acceptable"
+    case 503 => "Service Unavailable"
+    case _   => "Status"
+  }
+
   /** Status code from the stored status line ("HTTP/1.1 200 OK" → 200). */
   def statusCode(hs: Map[String, Seq[String]]): Option[Int] =
     hs.get(StatusKey).flatMap(_.headOption).flatMap { line =>

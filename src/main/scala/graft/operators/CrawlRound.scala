@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, explode, lit}
 import graft.core._
 import graft.functions.Urls
 
@@ -18,19 +18,25 @@ import graft.functions.Urls
  *     north_rule names. ≤1 URL/host/round makes the reference's politeness
  *     invariant hold by construction (the reference needs a dequeue-time
  *     write txn for this, db.c:762-790).
- *  2. Emission order = the reference's full composite sort (Step.emitKey)
- *     applied across the winners; the crawl budget truncates in that order
- *     — this makes the parallel schedule the same total order as the
- *     serial C loop (trace-replay tested against the simulator).
- *  3. Simulated fetch: picks ⋈ web (pages + fetch_meta) on url, ⋈
- *     fetch_log on url_hash (If-Modified-Since/304 + rollback), then the
- *     shared pure Step.fetchAndProcess inside mapPartitions — policy
- *     gates, redirect follow, RDF/HTML extraction, TTL/error arithmetic
- *     all happen per-row with zero extra shuffles.
- *  4. Frontier/host updates merged back (url_hash/root_hash keyed); the
- *     monotonic guards live in Step so engine ≡ simulator.
- *  5. Discovered outlinks: canonicalize → keys (K1-K5) → URL-seen filter
- *     (SeenFilter: bloom → cuckoo → anti-join) → insert-if-absent rows.
+ *  2. Emission ORDER is decoupled from execution: each pick carries its
+ *     A1 composite sort key (Step.emitKey) and the trace sequence is
+ *     derived lazily from the keys on read — no global sort, no
+ *     RangePartitioner sample job, no zipWithIndex job in the hot path.
+ *     Only a finite crawl budget forces a top-k here (TakeOrdered over the
+ *     remaining budget), truncating in exactly the reference's order.
+ *  3. Simulated fetch: picks ⋈ web (pages ⋈ fetch_meta, raw header block)
+ *     on url, ⋈ fetch_log on url_hash (If-Modified-Since/304 + rollback),
+ *     then the shared pure Step.fetchAndProcess inside mapPartitions —
+ *     X7 header parse, policy gates, redirect follow, RDF/HTML extraction,
+ *     TTL/error arithmetic all happen per-row with zero extra shuffles.
+ *  4. The step output is persisted ONCE as a flat DataFrame — every
+ *     downstream consumer (frontier/host updates, fetch log, payload
+ *     store, extracted text, trace, outlink candidates) reads a pruned
+ *     column slice of the columnar cache, so the wide text/body columns
+ *     are deserialized only by the consumers that need them.
+ *  5. Returned are pure DELTAS (updates + inserts per table); the driver
+ *     owns state as base+overlay+inserts (tables.DeltaState) — a round
+ *     never rewrites any full table.
  *
  * Skew note (SURVEY §7.4): the scheduling groupByKey must stay unsalted
  * (politeness is per-host), but its groups are tiny by construction —
@@ -41,16 +47,14 @@ import graft.functions.Urls
  */
 object CrawlRound {
 
-  /** Simulated-web row: pages (input_hint shape) ⋈ fetch_meta, flattened. */
+  /** Simulated-web row: pages (input_hint shape) ⋈ fetch_meta, flattened.
+    * Carries the RAW response header block — status/type/redirect/Link are
+    * parsed inside the fetch step (X7 in the dataflow, fetch.c:497-552). */
   final case class WebRow(
       url: String,
       warc_ts: Long,
       body: Array[Byte],
-      status: Int,
-      content_type: String,
-      location: Option[String],
-      content_location: Option[String],
-      link_headers: Seq[String])
+      headers_raw: String)
 
   /** fetch_log row (the cache sidecar's schedule-relevant fields —
     * reference JSON sidecar, libcrawl/p_libcrawl.h:47-75). */
@@ -59,70 +63,89 @@ object CrawlRound {
   /** Extracted-text output row (byte-identity contract per input_hint). */
   final case class ExtractedRow(url: String, text: String)
 
-  /** A dequeued winner with its emission-order key flattened for sorting. */
+  /** S4: one stored payload (the reference cache's payload blob,
+    * libcrawl/caches/disk.c:85-170 — committed iff the sidecar is). */
+  final case class PageStoreRow(url_hash: String, url: String,
+                                updated: Long, body: Array[Byte])
+
+  /** One trace row with its A1 composite emission key; the global `seq`
+    * is derived lazily (rank within round + per-round offset). */
+  final case class TraceKeyed(round: Int, k1: Int, k2: Long, k3: Long,
+                              k4: Int, url: String, state_at_dequeue: String)
+
+  /** A dequeued winner with its emission-order key flattened for sorting
+    * (k5 is the url itself). */
   final case class Pick(f: FrontierEntry, h: HostEntry,
                         k1: Int, k2: Long, k3: Long, k4: Int, k5: String)
 
-  /** A scheduled pick with its trace sequence + robots join key. */
-  final case class Sched(pick: Pick, seq: Long, robots_url: String)
+  /** A scheduled pick with its robots join key. */
+  final case class Sched(pick: Pick, robots_url: String)
 
   /** One host's robots.txt (url = <root>robots.txt). */
   final case class RobotsRow(url: String, body: Array[Byte])
 
-  /** Everything one step produces: trace row + state updates + outputs. */
+  /** Everything one step produces: emission key + state updates + outputs.
+    * Persisted as a flat DataFrame so consumers prune columns. */
   final case class StepOut(
-      seq: Long,
+      k1: Int, k2: Long, k3: Long, k4: Int,
       url: String,
-      stateAtDequeue: String,
+      state_at_dequeue: String,
       newF: FrontierEntry,
       newH: HostEntry,
       commit: Boolean,
       status: Int,
-      extractedText: Option[String],
+      text: Option[String],
+      body: Option[Array[Byte]],
       outlinks: Seq[String])
 
+  /** Pure per-table DELTAS of one round (all unpersisted plans over the
+    * round-internal caches; the driver persists + materializes them in one
+    * job and folds them into its DeltaState/AppendState tables). */
   final case class RoundResult(
-      frontier: Dataset[FrontierEntry],
-      hosts: Dataset[HostEntry],
-      fetchLog: Dataset[CacheRow],
-      extracted: Dataset[ExtractedRow],
-      trace: Dataset[TraceRow],
       picksCount: Long,
-      discoveredCount: Long,
-      newHashes: Dataset[String],
-      /** Wall seconds of the two work phases (dequeue+fetch+extract and
-        * the URL-seen filter) — the compute-dominated portion of a round,
-        * used by the bench to report work-stage scaling separately from
-        * end-to-end (which in local mode carries fixed per-stage driver
-        * latency a real cluster amortizes). */
       fetchPhaseSec: Double,
-      seenPhaseSec: Double,
-      /** Rows that changed this round — drives COW bucket selection. */
-      changedFrontier: Dataset[FrontierEntry],
-      changedHosts: Dataset[HostEntry],
-      changedLog: Dataset[CacheRow],
+      updatedFrontier: Dataset[FrontierEntry],
+      newFrontier: Dataset[FrontierEntry],
+      updatedHosts: Dataset[HostEntry],
+      newHosts: Dataset[HostEntry],
+      logDelta: Dataset[CacheRow],
+      pagesDelta: Dataset[PageStoreRow],
+      extractedDelta: Dataset[ExtractedRow],
+      trace: Dataset[TraceKeyed],
       /** Unpersist round-internal caches — call AFTER materializing the
-        * returned datasets. */
+        * returned deltas. */
       cleanup: () => Unit)
 
   def webFromMap(spark: SparkSession,
                  web: Map[String, Step.WebEntry]): Dataset[WebRow] = {
     import spark.implicits._
     web.toSeq.sortBy(_._1).map { case (u, w) =>
-      WebRow(u, w.warcTs, w.body, w.status, w.contentType, w.location,
-        w.contentLocation, w.linkHeaders)
+      WebRow(u, w.warcTs, w.body, w.headersRaw)
     }.toDS()
   }
 
+  /** S2 source shape: the simulated web assembled from the at-rest tables
+    * — `pages` (input_hint shape) ⋈ `fetch_meta` (raw header envelope) on
+    * url (SURVEY §2.1 S2, §2.4 J4). */
+  def webFromTables(pages: Dataset[PageRow],
+                    meta: Dataset[FetchMeta]): Dataset[WebRow] = {
+    import pages.sparkSession.implicits._
+    pages.joinWith(meta, pages("url") === meta("url"), "inner")
+      .map { case (p, m) =>
+        WebRow(p.url, p.warc_ts.getTime / 1000L, p.html, m.headers_raw)
+      }
+  }
+
   /**
-   * Execute one round. Returns the post-round state (not yet
-   * materialized — the driver decides checkpoint vs localCheckpoint).
+   * Execute one round: runs ONE job (materializing the persisted step
+   * output, whose count is the picks count) and returns the delta plans.
    */
   def run(
       spark: SparkSession,
       frontier: Dataset[FrontierEntry],
       hosts: Dataset[HostEntry],
       fetchLog: Dataset[CacheRow],
+      seenKeys: Dataset[String],
       web: Dataset[WebRow],
       cfg: CrawlConfig,
       now: Long,
@@ -134,12 +157,12 @@ object CrawlRound {
     val bcCfg = spark.sparkContext.broadcast(cfg)
 
     // --- 1. A1 dequeue --------------------------------------------------
-    // Pushed-down frontier filter (at 100TB scale this is the partition-
-    // pruning scan); hosts filter keeps only currently-eligible hosts so
-    // the broadcast side stays minimal.
+    // Column-level filters: stay columnar over the cached state (pushdown
+    // at 100TB scale = partition pruning on next_fetch); hosts filter
+    // keeps only currently-eligible hosts so the join side stays minimal.
     val eligibleHosts = hosts
-      .filter(h => h.rate > 0 && h.earliest_update < now)
-    val due = frontier.filter(_.next_fetch < now)
+      .filter(col("rate") > 0 && col("earliest_update") < lit(now))
+    val due = frontier.filter(col("next_fetch") < lit(now))
 
     // hosts ≪ frontier (1 row/host). No forced broadcast hint: a driver-built
     // broadcast of a large host table is a serial bottleneck — AQE sees the
@@ -168,28 +191,25 @@ object CrawlRound {
         Iterator.single(Pick(f, h, k1, k2, k3, k4, k5))
       }
 
-    // --- 2. emission order + budget truncation --------------------------
+    // --- 2. budget truncation (only a finite budget forces a sort) -------
     val budgetLeft = cfg.budget - seqStart
-    val ordered = picks.orderBy("k1", "k2", "k3", "k4", "k5")
-    val limited =
-      (if (budgetLeft >= Int.MaxValue) ordered
-       else ordered.limit(math.max(0L, budgetLeft).toInt))
-        .persist() // 3 passes below (range sampling, zip sizing, consume)
-    // Global trace sequence: zipWithIndex respects the range-partitioned
-    // sort order; only the (small) pick set flows through it.
+    val scheduled: Dataset[Pick] =
+      if (budgetLeft >= Int.MaxValue) picks
+      else picks.orderBy("k1", "k2", "k3", "k4", "k5")
+        .limit(math.max(0L, budgetLeft).toInt)
+
     val robotsOn = cfg.robotsEnabled
-    val seqd: Dataset[Sched] = spark.createDataset(
-      limited.rdd.zipWithIndex().map { case (p, i) =>
-        val rUrl =
-          if (!robotsOn) ""
-          else Urls.canonicalRoot(p.f.url)
-            .map(graft.functions.Robots.robotsUrl).getOrElse("")
-        Sched(p, seqStart + i, rUrl)
-      })
+    val sched: Dataset[Sched] = scheduled.map { p =>
+      val rUrl =
+        if (!robotsOn) ""
+        else Urls.canonicalRoot(p.f.url)
+          .map(graft.functions.Robots.robotsUrl).getOrElse("")
+      Sched(p, rUrl)
+    }
 
     // --- 3. simulated fetch + process ------------------------------------
-    val withWeb: Dataset[(Sched, WebRow)] = seqd
-      .joinWith(web, seqd("pick.f.url") === web("url"), "left_outer")
+    val withWeb: Dataset[(Sched, WebRow)] = sched
+      .joinWith(web, sched("pick.f.url") === web("url"), "left_outer")
     val withCache: Dataset[((Sched, WebRow), CacheRow)] = withWeb
       .joinWith(fetchLog, $"_1.pick.f.url_hash" === fetchLog("url_hash"),
         "left_outer")
@@ -197,21 +217,24 @@ object CrawlRound {
     // broadcasts it; empty (zero-cost join) when the gate is off
     val robotsDs: Dataset[RobotsRow] =
       if (!robotsOn) spark.emptyDataset[RobotsRow]
-      else web.filter(w => w.url.endsWith("/robots.txt") && w.status == 200)
-        .map(w => RobotsRow(w.url, w.body))
+      else web.filter(_.url.endsWith("/robots.txt"))
+        .flatMap { w =>
+          val e = Step.WebEntry(w.warc_ts, w.body, w.headers_raw)
+          if (e.status == 200) Iterator.single(RobotsRow(w.url, w.body))
+          else Iterator.empty
+        }
     val withRobots: Dataset[(((Sched, WebRow), CacheRow), RobotsRow)] =
       withCache.joinWith(robotsDs,
         $"_1._1.robots_url" === robotsDs("url"), "left_outer")
 
     val outs: Dataset[StepOut] = withRobots.mapPartitions { it =>
       val cfg = bcCfg.value
-      it.map { case ((((Sched(pick, seq, _), webRow), cacheRow), robotsRow)) =>
+      it.map { case ((((Sched(pick, _), webRow), cacheRow), robotsRow)) =>
         val f = pick.f
         val cached = Option(cacheRow)
           .map(c => Step.CachedInfo(c.updated, c.status))
-        val wEntry = Option(webRow).map(w => Step.WebEntry(w.warc_ts,
-          w.body, w.status, w.content_type, w.location, w.content_location,
-          w.link_headers))
+        val wEntry = Option(webRow).map(w =>
+          Step.WebEntry(w.warc_ts, w.body, w.headers_raw))
         // A2 politeness advance at dequeue (db.c:762-790)
         val hAdvanced = Step.politenessAdvance(pick.h, now)
         val res = Step.fetchAndProcess(f.url, f.state, now, cached,
@@ -224,91 +247,68 @@ object CrawlRound {
             (Step.frontierUnchanged(f, now, error = false),
              Step.rootUnchanged(hAdvanced, now))
         }
-        StepOut(seq, f.url, f.state, newF, newH,
-          res.commit, res.status, res.extractedText, res.outlinks)
+        StepOut(pick.k1, pick.k2, pick.k3, pick.k4, f.url, f.state,
+          newF, newH, res.commit, res.status, res.extractedText,
+          if (res.commit) Some(Option(webRow).map(_.body)
+            .getOrElse(Array.emptyByteArray)) else None,
+          res.outlinks)
       }
     }
 
-    // The step output fans out to 6 consumers — materialize once.
+    // The step output fans out to 7 consumers — persist ONCE as a flat
+    // DataFrame; the columnar cache serves each consumer a pruned column
+    // slice (the wide text/body columns are read only by their consumers).
+    val stepOuts: DataFrame = outs.toDF().persist()
     val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
-    var fetchPhaseSec = 0.0
-    var seenPhaseSec  = 0.0
-    def timed[T](label: String)(f: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r  = f
-      val s  = (System.nanoTime() - t0) / 1e9
-      if (verbose) println(f"[round-timing]   $label: $s%.2fs")
-      (r, s)
-    }
-    val stepOuts = outs.persist()
-    val (picksCount, fps) = timed("fetch+process")(stepOuts.count())
-    fetchPhaseSec = fps
+    val t0 = System.nanoTime()
+    val picksCount = stepOuts.count()
+    val fetchPhaseSec = (System.nanoTime() - t0) / 1e9
+    if (verbose) println(f"[round-timing]   fetch+process: $fetchPhaseSec%.2fs")
 
-    // --- 4. merge updates -------------------------------------------------
-    val updatedF = stepOuts.map(_.newF)
-    val updatedH = stepOuts.map(_.newH)
+    // --- 4. state-update deltas (column-pruned reads of the cache) -------
+    val updatedF = stepOuts.select($"newF.*").as[FrontierEntry]
+    val updatedH = stepOuts.select($"newH.*").as[HostEntry]
+    val commits  = stepOuts.filter(col("commit"))
+    val logDelta = commits
+      .select($"newF.url_hash".as("url_hash"), lit(now).as("updated"),
+        col("status"))
+      .as[CacheRow]
+    val pagesDelta = commits
+      .select($"newF.url_hash".as("url_hash"), col("url"),
+        lit(now).as("updated"),
+        coalesce(col("body"), lit(Array.emptyByteArray)).as("body"))
+      .as[PageStoreRow]
+    val extractedDelta = commits
+      .filter(col("text").isNotNull)
+      .select(col("url"), col("text"))
+      .as[ExtractedRow]
+    val trace = stepOuts
+      .select(lit(round.toInt).as("round"), col("k1"), col("k2"), col("k3"),
+        col("k4"), col("url"), col("state_at_dequeue"))
+      .as[TraceKeyed]
 
     // --- 5. discovered URLs: canonicalize → seen-filter → insert ---------
     val candidates: Dataset[SeenFilter.Candidate] = stepOuts
-      .flatMap(_.outlinks)
+      .select(explode(col("outlinks")).as("raw")).as[String]
       .flatMap(raw => Urls.canonicalKeyUrl(raw)
         .map(c => SeenFilter.Candidate(Urls.urlHash(c), c)))
       .dropDuplicates("url_hash")
 
-    val seenHashes = frontier.map(_.url_hash)
     val genuinelyNew = SeenFilter
-      .filterNew(spark, candidates, seenHashes, bloom)
+      .filterNew(spark, candidates, seenKeys, bloom)
       .persist()
 
     val newEntries: Dataset[FrontierEntry] = genuinelyNew
       .flatMap(c => Step.newFrontierEntryFromCanon(c.url, c.url_hash, now))
-    val (discoveredCount, sps) = timed("seen-filter")(genuinelyNew.count())
-    seenPhaseSec = sps
-
-    val newHostCandidates: Dataset[HostEntry] = genuinelyNew
+    val newHosts: Dataset[HostEntry] = genuinelyNew
       .flatMap(c => Step.newHostEntry(c.url, now, bcCfg.value))
       .dropDuplicates("root_hash")
-    val newHosts = newHostCandidates
       .join(hosts.select("root_hash"), Seq("root_hash"), "left_anti")
       .as[HostEntry]
 
-    // Replace-by-key merges (≤1 update per key per round by construction).
-    val newFrontier = frontier
-      .join(updatedF.select("url_hash"), Seq("url_hash"), "left_anti")
-      .as[FrontierEntry]
-      .unionByName(updatedF)
-      .unionByName(newEntries)
-    val newHostsAll = hosts
-      .join(updatedH.select("root_hash"), Seq("root_hash"), "left_anti")
-      .as[HostEntry]
-      .unionByName(updatedH)
-      .unionByName(newHosts)
-
-    // --- 6. outputs -------------------------------------------------------
-    val commits = stepOuts.filter(_.commit)
-    val newLog = fetchLog
-      .join(commits.select($"newF.url_hash".as("url_hash")),
-        Seq("url_hash"), "left_anti")
-      .as[CacheRow]
-      .unionByName(commits.map(o =>
-        CacheRow(o.newF.url_hash, now, o.status)))
-
-    val extractedNew = stepOuts
-      .filter(o => o.commit && o.extractedText.isDefined)
-      .map(o => ExtractedRow(o.url, o.extractedText.get))
-
-    val trace = stepOuts.map(o =>
-      TraceRow(o.seq, round.toInt, o.url, o.stateAtDequeue))
-
-    RoundResult(newFrontier, newHostsAll, newLog, extractedNew, trace,
-      picksCount, discoveredCount,
-      newHashes = genuinelyNew.map(_.url_hash),
-      fetchPhaseSec = fetchPhaseSec,
-      seenPhaseSec = seenPhaseSec,
-      changedFrontier = updatedF.unionByName(newEntries),
-      changedHosts = updatedH.unionByName(newHosts),
-      changedLog = commits.map(o => CacheRow(o.newF.url_hash, now, o.status)),
-      cleanup = () => { stepOuts.unpersist(); genuinelyNew.unpersist()
-        limited.unpersist() })
+    RoundResult(picksCount, fetchPhaseSec,
+      updatedF, newEntries, updatedH, newHosts,
+      logDelta, pagesDelta, extractedDelta, trace,
+      cleanup = () => { stepOuts.unpersist(); genuinelyNew.unpersist() })
   }
 }

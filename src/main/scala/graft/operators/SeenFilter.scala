@@ -154,13 +154,13 @@ object SeenFilter {
     }
   }
 
-  /** Build a batch bloom over a hash column on the executors
-    * (treeAggregate — no collect of keys to the driver), with the target
-    * family's parameters so it merges cleanly. */
+  /** Build a batch bloom over a hash column on the executors via the
+    * built-in DataFrameStatFunctions aggregate (no RDD escape, no collect
+    * of keys to the driver), sized with the target family's parameters so
+    * the filters merge cleanly (equal bit arrays). */
   def buildBloom(hashes: Dataset[String], family: SeenBloom): BloomFilter =
-    hashes.rdd.treeAggregate(family.emptyBatch())(
-      (bf, h) => { bf.putString(h); bf },
-      (a, b) => { a.mergeInPlace(b); a })
+    hashes.toDF("url_hash")
+      .stat.bloomFilter("url_hash", family.epochCapacity, family.fpp)
 
   /** Candidate with its url_hash (already canonicalized). */
   final case class Candidate(url_hash: String, url: String)

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
  * group-bys combine map-side; the LSH band join shuffles only
  * (doc, band-hash) pairs — the whole point of LSH at 100 TB is that the
  * candidate join replaces the quadratic all-pairs compare. The Jaccard
- * verifier is restricted to same-`source` candidate groups, mirroring how
- * a production pipeline verifies only LSH-bucketed candidates.
+ * verifier consumes exactly those LSH candidate pairs (q12 → q13), so the
+ * verification stage is ~linear in corpus size too.
  */
 object DedupOps {
 
@@ -105,16 +105,22 @@ object DedupOps {
        |  ON a.b = b.b AND a.band_hash = b.band_hash
        |    AND a.doc_id < b.doc_id""".stripMargin
 
-  /** Unigram-set Jaccard over same-source candidate groups, in exact
-    * integer arithmetic (emit intersection/union counts; the ≥0.5
-    * threshold is the integer comparison 2·|∩| ≥ |∪|). */
+  /** Unigram-set Jaccard verification of the LSH candidate pairs (q12),
+    * in exact integer arithmetic (emit intersection/union counts; the
+    * ≥0.5 threshold is the integer comparison 2·|∩| ≥ |∪|). Verifying
+    * ONLY the LSH-bucketed candidates is the entire point of LSH at
+    * 100 TB: the candidate set is ~linear in corpus size, where the
+    * r1 same-source self-join was O(Σ n_source²) — quadratic within each
+    * source at scale. Each side of the pair joins back to its token
+    * array by doc_id (equi-joins on unique keys, shuffle ∝ candidates). */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("source"),
+    val toks = docs(s, dir).select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("toks"))
-    val a = d.toDF("doc_a", "source", "toks_a")
-    val b = d.toDF("doc_b", "source", "toks_b")
-    a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b"))
+    lshCandidatePairs(s, dir)
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
           .as("inter_cnt"),
@@ -124,15 +130,18 @@ object DedupOps {
   }
 
   val jaccardPairsSql: String =
-    """WITH d AS (SELECT doc_id, source,
-      |    list_distinct(string_split(text, ' ')) AS toks FROM documents)
-      |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_cnt,
-      |    CAST(len(a.toks) + len(b.toks)
-      |      - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_cnt
-      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-      |WHERE inter_cnt * 2 >= union_cnt""".stripMargin
+    s"""WITH pairs AS (${lshCandidatePairsSql.replace("\n", "\n  ")}),
+       |d AS (SELECT doc_id,
+       |    list_distinct(string_split(text, ' ')) AS toks FROM documents)
+       |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_cnt,
+       |    CAST(len(a.toks) + len(b.toks)
+       |      - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_cnt
+       |  FROM pairs p
+       |  JOIN d a ON p.doc_a = a.doc_id
+       |  JOIN d b ON p.doc_b = b.doc_id)
+       |WHERE inter_cnt * 2 >= union_cnt""".stripMargin
 
   /** 16-bit SimHash over distinct unigrams (token hash = first 16 bits of
     * md5; bit b of the simhash = sign of Σ ±1 over tokens). */

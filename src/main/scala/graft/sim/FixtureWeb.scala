@@ -26,7 +26,7 @@ object FixtureWeb {
     CrawlConfig(
       schemeWhitelist = Seq("http", "https"),
       ctypeWhitelist = Seq("text/turtle", "application/rdf+xml",
-        "text/html", "application/n-triples"),
+        "text/html", "application/n-triples", "application/n-quads"),
       hostRateOverrides = Map(
         "http://host1.example.org/" -> 100,  // floored to 1 s (db.c:771-779)
         "http://host2.example.org/" -> 5000),
@@ -56,8 +56,11 @@ object FixtureWeb {
                     location: Option[String] = None,
                     contentLocation: Option[String] = None,
                     linkHeaders: Seq[String] = Nil): (String, Step.WebEntry) =
-    u -> Step.WebEntry(warcTs, body.getBytes(StandardCharsets.UTF_8), status,
-      ctype, location, contentLocation, linkHeaders)
+    u -> Step.WebEntry(warcTs, body.getBytes(StandardCharsets.UTF_8),
+      // raw CRLF header block — every simulated fetch now exercises the
+      // X7 parser (status line under ":", duplicate-fold, CR trim)
+      graft.functions.Headers.renderHeaderBlock(status, ctype, location,
+        contentLocation, linkHeaders))
 
   /** Generate the fixture web. */
   def generate(hosts: Int = 5, pagesPerHost: Int = 6,
@@ -77,11 +80,13 @@ object FixtureWeb {
           b += entry(self, "oops", status = 503, ctype = "text/plain")
         case (3, 1) => // F2: non-whitelisted content type
           b += entry(self, "key: value", ctype = "application/json")
-        case (4, 1) => // X10/E2: Link header carrying an extra outlink
+        case (4, 1) => // X10/E2: Link headers carrying extra outlinks — two
+          // separate header lines, so X7's duplicate-fold runs in-trace
           b += entry(self,
             turtle(self, Seq(url(4, 2)), None),
             linkHeaders = Seq(
-              s"""<${url(0, 3)}>; rel="describedby", </page4.ttl>; rel=next"""))
+              s"""<${url(0, 3)}>; rel="describedby"""",
+              "</page4.ttl>; rel=next"))
         case (3, 2) => // F4: same-origin Content-Location honored
           b += entry(self, turtle(self, Seq(url(3, 3)), Some(GoodLicense)),
             ctype = "text/turtle; charset=utf-8", // X8
@@ -94,6 +99,23 @@ object FixtureWeb {
         case (1, 2) => // F1: ftp outlink — enqueued, then SKIPPED at fetch
           b += entry(self, turtle(self,
             Seq("ftp://files.example.org/data.bin", url(1, 3)), None))
+        case (3, 4) => // E1: genuine RDF/XML (NOT Turtle) — Description +
+          // typed node + nested description + rdf:resource links
+          b += entry(self,
+            s"""<?xml version="1.0"?>
+               |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:dct="http://purl.org/dc/terms/" xmlns:foaf="http://xmlns.com/foaf/0.1/">
+               |<rdf:Description rdf:about="$self"><dct:title>RDF/XML page $self</dct:title><dct:references rdf:resource="${url(3, 5)}"/><dct:references rdf:resource="/page0.ttl"/></rdf:Description>
+               |<foaf:Document rdf:about="canonical/34"><dct:creator><rdf:Description rdf:about="${url(0, 4)}"><dct:title>nested</dct:title></rdf:Description></dct:creator></foaf:Document>
+               |</rdf:RDF>""".stripMargin,
+            ctype = "application/rdf+xml")
+        case (2, 4) => // E1: genuine N-Quads with a 4th (graph) term —
+          // discarded by the parser (rdf.c:231-235; context off-statement)
+          b += entry(self,
+            s"""<$self> <http://purl.org/dc/terms/title> "NQ page" <http://graphs.example.org/g1> .
+               |<$self> <http://purl.org/dc/terms/references> <${url(2, 5)}> <http://graphs.example.org/g1> .
+               |<$self> <http://purl.org/dc/terms/references> <${url(4, 0)}> .
+               |""".stripMargin,
+            ctype = "application/n-quads")
         case _ =>
           // seeded cross-links: 1-3 outlinks to random (host, page)
           val n = 1 + rnd.nextInt(3)
@@ -118,6 +140,14 @@ object FixtureWeb {
       ctype = "text/plain")
     b.result()
   }
+
+  /** The `fetch_meta` rows implied by the web — the raw header envelope
+    * side of the at-rest source shape (CrawlRound.webFromTables). */
+  def fetchMetaRows(web: Map[String, Step.WebEntry])
+      : Seq[graft.core.FetchMeta] =
+    web.toSeq.sortBy(_._1).map { case (u, w) =>
+      graft.core.FetchMeta(u, w.headersRaw)
+    }
 
   /** The input `pages` rows implied by the web — text column is the golden
     * extraction (byte-identity contract, input_hint). */

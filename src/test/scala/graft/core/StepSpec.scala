@@ -15,8 +15,9 @@ class StepSpec extends AnyFunSuite {
           location: Option[String] = None,
           contentLocation: Option[String] = None,
           linkHeaders: Seq[String] = Nil) =
-    WebEntry(warcTs, body.getBytes(StandardCharsets.UTF_8), status, ctype,
-      location, contentLocation, linkHeaders)
+    WebEntry(warcTs, body.getBytes(StandardCharsets.UTF_8),
+      graft.functions.Headers.renderHeaderBlock(status, ctype, location,
+        contentLocation, linkHeaders))
 
   test("200 RDF: fresh commit, ACCEPTED, ttl 86400, outlinks harvested") {
     val r = fetchAndProcess(url, CrawlState.New, now, None, Some(web()), cfg)

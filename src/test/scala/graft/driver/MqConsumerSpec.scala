@@ -45,6 +45,36 @@ class MqConsumerSpec extends SparkTestBase {
       .find(_.url_hash == b.url_hash).get.state == CrawlState.Failed)
   }
 
+  test("batched acks: one keyed merge, ACCEPTED guard per row (mq.c:447,463)") {
+    val accepted = drv.frontier.collect()
+      .filter(_.state == CrawlState.Accepted).sortBy(_.url)
+    assert(accepted.size >= 3)
+    val Seq(a, b, c) = accepted.take(3).map(_.url_hash).toSeq
+    drv.mqAckBatch(Seq(a, b))
+    val after = drv.frontier.collect().map(f => f.url_hash -> f.state).toMap
+    assert(after(a) == CrawlState.Complete && after(b) == CrawlState.Complete)
+    // guard inside a batch: a is COMPLETE now — reject must not touch it
+    drv.mqRejectBatch(Seq(a, c))
+    val after2 = drv.frontier.collect().map(f => f.url_hash -> f.state).toMap
+    assert(after2(a) == CrawlState.Complete)
+    assert(after2(c) == CrawlState.Failed)
+    // row count unchanged — merge, not append
+    assert(drv.frontier.count() == after.size)
+  }
+
+  test("F8: partition-scoped mq consumption (mq.c:373-400, db.c:564-579)") {
+    drv.setHostPartition("http://host0.example.org/", Some("pf8"))
+    val scoped = drv.mqNext(0, 1, Some("pf8"))
+    scoped.foreach(f =>
+      assert(f.url.startsWith("http://host0.example.org/")))
+    // every ACCEPTED row of the labeled host is in scope; others are not
+    val inScope = drv.frontier.collect().filter(f =>
+      f.state == CrawlState.Accepted &&
+        f.url.startsWith("http://host0.example.org/"))
+    assert(scoped.isDefined == inScope.nonEmpty)
+    assert(drv.mqNext(0, 1, Some("no-such-partition")).isEmpty)
+  }
+
   test("locate: cache view of a fetched url (crawl-locate analog)") {
     val fetched = drv.traceRows.map(_.url)
       .find(u => drv.extractedMap.contains(u))
@@ -62,12 +92,30 @@ class MqConsumerSpec extends SparkTestBase {
     assert(h.partition.contains("p1"))
   }
 
-  test("testUri: one-shot force fetch (crawld -t analog)") {
+  test("testUri: one-shot force fetch equals the simulator's single round " +
+       "(crawld -t analog, db.c:610-627)") {
     val d = new CrawlDriver(spark, FixtureWeb.config(),
       CrawlRound.webFromMap(spark, FixtureWeb.generate()), store = None)
     val u = FixtureWeb.url(0, 0)
     d.testUri(u, T0 + 100)
+    val sim = new graft.sim.Simulator(FixtureWeb.generate(),
+      FixtureWeb.config())
+    sim.addUrl(u, T0 + 99, force = true)
+    sim.run(T0 + 100, 1)
+    assert(d.traceRows == sim.trace.toSeq)
     assert(d.traceRows.map(_.url) == Seq(u))
     assert(d.traceRows.head.state_at_dequeue == CrawlState.Force)
+    assert(d.seenSet == sim.seenSet) // one-shot discoveries enqueued too
+  }
+
+  test("S4: stored payload readable via locatePayload (disk.c read path)") {
+    val fetched = drv.traceRows.map(_.url)
+      .find(u => drv.extractedMap.contains(u))
+    assert(fetched.isDefined)
+    val body = drv.locatePayload(fetched.get)
+    assert(body.isDefined)
+    val webBody = FixtureWeb.generate()(fetched.get).body
+    assert(body.get.toSeq == webBody.toSeq)
+    assert(drv.locatePayload("http://never-seen.example.org/").isEmpty)
   }
 }

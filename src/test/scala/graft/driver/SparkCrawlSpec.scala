@@ -200,5 +200,38 @@ class SparkCrawlSpec extends SparkTestBase {
     val a = full.frontier.collect().map(f => f.url_hash -> f).toMap
     val b = resumed.frontier.collect().map(f => f.url_hash -> f).toMap
     assert(a == b)
+    // S4: the payload store survives the resume identically
+    def pageMap(d: CrawlDriver) = d.pages.collect()
+      .map(p => p.url_hash -> ((p.updated, p.body.toSeq))).toMap
+    val pagesFull = pageMap(full)
+    assert(pagesFull.nonEmpty)
+    assert(pageMap(resumed) == pagesFull)
+  }
+
+  test("mid-crawl seeds and partition labels survive checkpoint + resume") {
+    // Regression for the COW change-tracking gap: mutations outside the
+    // round path (seed / setHostPartition between checkpoints) must mark
+    // their buckets changed, or the next snapshot carries forward stale
+    // bucket pointers and the mutation is silently lost on resume.
+    val dir = Files.createTempDirectory("graft-snap-c").toString
+    val drv = freshDriver(store = Some(new SnapshotStore(dir)),
+      checkpointEvery = 4)
+    drv.run(T0, 6)
+    drv.setHostPartition("http://host1.example.org/", Some("pZ"))
+    val lateSeed = "http://lateseed.example.org/x"
+    drv.seed(Seq(lateSeed), T0 + 6)
+    drv.run(T0 + 7, 4) // crosses a checkpoint boundary
+
+    val resumed = new CrawlDriver(spark, cfg,
+      CrawlRound.webFromMap(spark, FixtureWeb.generate()),
+      Some(new SnapshotStore(dir)), numBuckets = 8, checkpointEvery = 4)
+    assert(resumed.resume())
+    val h = resumed.hosts.collect()
+      .find(_.root_url == "http://host1.example.org/")
+    assert(h.exists(_.partition.contains("pZ")))
+    assert(resumed.seenSet.contains(
+      graft.functions.Urls.urlHash(lateSeed)))
+    assert(resumed.seenSet == drv.seenSet)
+    assert(resumed.traceRows == drv.traceRows)
   }
 }

@@ -39,9 +39,14 @@ class PlanSpec extends SparkTestBase {
       p.take(600))
   }
 
-  test("q13 jaccard: same-source self-join stays an equi-join (no CartesianProduct)") {
+  test("q13 jaccard: verifies LSH candidates — no source-key self-join, " +
+       "no CartesianProduct") {
     val p = planOf(DedupOps.jaccardPairs(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(600))
+    // the pair generator must be the banded LSH join, not an all-pairs
+    // same-source join (r1's quadratic trap)
+    assert(p.contains("band_hash"), p.take(600))
+    assert(!p.contains("source"), p.take(600))
   }
 
   test("whole-stage codegen covers the scan+filter+project pipelines") {
