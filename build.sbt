@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Throughput collector: the crawl sweep is an allocation-heavy batch
+  // workload; G1 spent 25% of a 32-thread 2M-URL sweep in GC pauses,
+  // ParallelGC cuts that ~3x (measured: 41.6s -> 12.0s GC on the same
+  // sweep) and lifts peak throughput ~25%.
+  "-XX:+UseParallelGC",
 )

@@ -80,6 +80,16 @@ final class CrawlDriver(
   private var pendingTraceParts: Vector[Dataset[TraceKeyed]] = Vector.empty
   private var pendingMetrics: Map[String, Long] = Map.empty
 
+  /** Where round deltas and cached step output live: OFF_HEAP when the
+    * session has an off-heap pool (the bench does) — the engine's retained
+    * state then never pressures the GC old generation, which otherwise
+    * costs 25-50% of a big sweep's wall in collector pauses; on-heap
+    * MEMORY_AND_DISK otherwise (tests, default sessions). */
+  private[graft] val stateLevel: org.apache.spark.storage.StorageLevel =
+    if (spark.conf.getOption("spark.memory.offHeap.enabled").contains("true"))
+      org.apache.spark.storage.StorageLevel.OFF_HEAP
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
   private def timed[T](label: String)(f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -168,8 +178,12 @@ final class CrawlDriver(
       val tRound = System.nanoTime()
       maybeCompact()
 
-      val res = CrawlRound.run(spark, frontier, hosts, fetchLog, fState.keys,
-        web, cfg, now, roundNo, seq, bloom)
+      val (res, roundSec) = timed("roundBuild+fetch") {
+        CrawlRound.run(spark, frontier, hosts, fetchLog, fState.keys,
+          web, cfg, now, roundNo, seq, bloom)
+      }
+      if (verbose)
+        println(f"[round-timing]   planBuild: ${roundSec - res.fetchPhaseSec}%.2fs")
       workPhaseSec += res.fetchPhaseSec
 
       if (res.picksCount > 0) {
@@ -178,25 +192,38 @@ final class CrawlDriver(
         // view over plain persist()ed parts nests the previous round's
         // plan and the analyzer cost explodes exponentially with rounds),
         // while the data still materializes in ONE counting job below.
-        def leaf[T](ds: Dataset[T]): Dataset[T] = ds.localCheckpoint(false)
-        val fo  = leaf(fState.composeOverlay(res.updatedFrontier))
-        val ho  = leaf(hState.composeOverlay(res.updatedHosts))
-        val lo  = leaf(lState.composeOverlay(res.logDelta))
-        val fn  = leaf(res.newFrontier)
-        val hn  = leaf(res.newHosts)
-        val pg  = leaf(res.pagesDelta)
-        val ext = leaf(res.extractedDelta)
-        val tr  = leaf(res.trace)
-        val storeParts: Seq[(String, DataFrame)] =
-          if (store.isEmpty) Nil
-          else Seq("fu" -> leaf(res.updatedFrontier).toDF(),
-            "hu" -> leaf(res.updatedHosts).toDF(),
-            "log" -> leaf(res.logDelta).toDF())
+        // Every leaf is coalesced to the session parallelism BEFORE the
+        // checkpoint: (a) overlays are re-composed (old ∪ delta) every
+        // round and union concatenates partitions — unbounded growth;
+        // (b) ~11 parts × 64-128 shuffle partitions each puts thousands
+        // of ms-sized tasks into the counting job, whose per-task driver
+        // scheduling cost is serial and wrecks the 8→32 scaling ratio.
+        val par = spark.sparkContext.defaultParallelism
+        def leaf[T](ds: Dataset[T]): Dataset[T] =
+          ds.coalesce(par).localCheckpoint(false, stateLevel)
+        val ((fo, ho, lo, fn, hn, pg, ext, tr, storeParts), leafSec) =
+          timed("leafPlanning") {
+            val fo  = leaf(fState.composeOverlay(res.updatedFrontier))
+            val ho  = leaf(hState.composeOverlay(res.updatedHosts))
+            val lo  = leaf(lState.composeOverlay(res.logDelta))
+            val fn  = leaf(res.newFrontier)
+            val hn  = leaf(res.newHosts)
+            val pg  = leaf(res.pagesDelta)
+            val ext = leaf(res.extractedDelta)
+            val tr  = leaf(res.trace)
+            val sp: Seq[(String, DataFrame)] =
+              if (store.isEmpty) Nil
+              else Seq("fu" -> leaf(res.updatedFrontier).toDF(),
+                "hu" -> leaf(res.updatedHosts).toDF(),
+                "log" -> leaf(res.logDelta).toDF())
+            (fo, ho, lo, fn, hn, pg, ext, tr, sp)
+          }
         val parts: Seq[(String, DataFrame)] = Seq(
           "fn" -> fn.toDF(), "hn" -> hn.toDF(), "pg" -> pg.toDF(),
           "ext" -> ext.toDF(), "tr" -> tr.toDF(),
           "fo" -> fo.toDF(), "ho" -> ho.toDF(), "lo" -> lo.toDF()) ++
           storeParts
+        if (verbose) println(f"[round-timing]   (leafs: $leafSec%.2fs)")
         val (counts, matSec) = timed("materialize+count") {
           materializeAndCount(parts)
         }
@@ -205,14 +232,21 @@ final class CrawlDriver(
         }
         workPhaseSec += matSec + bloomSec
 
+        // Size each retained part's task count from its ACTUAL rows (a
+        // post-materialization coalesce is a narrow, zero-copy view): a
+        // 2k-row late-round delta must not cost 64 scheduler tasks on
+        // every later scan of the accumulated parts.
+        def sized[T](ds: Dataset[T], rows: Long): Dataset[T] =
+          ds.coalesce(math.max(1L,
+            math.min(par.toLong, rows / 200000L + 1L)).toInt)
         fState.swapOverlay(fo, counts("fo"))
-        fState.addInserts(fn, counts("fn"))
+        fState.addInserts(sized(fn, counts("fn")), counts("fn"))
         hState.swapOverlay(ho, counts("ho"))
-        hState.addInserts(hn, counts("hn"))
+        hState.addInserts(sized(hn, counts("hn")), counts("hn"))
         lState.swapOverlay(lo, counts("lo"))
-        eState.append(ext)
-        pState.append(pg)
-        traceParts :+= tr
+        eState.append(sized(ext, counts("ext")))
+        pState.append(sized(pg, counts("pg")))
+        traceParts :+= sized(tr, counts("tr"))
         roundOffsets :+= ((roundNo.toInt, seq))
         if (store.isDefined) {
           val sp = storeParts.toMap

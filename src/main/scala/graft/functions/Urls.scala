@@ -159,16 +159,78 @@ object Urls {
     case i  => s.substring(0, i)
   }
 
-  /** Canonical crawl/cache key form: canonicalize then drop fragment. */
+  /**
+   * Fast-path detector: returns the index of the path-start '/' when `s`
+   * is ALREADY in canonical key form — lowercase http/https scheme,
+   * lowercase reg-name host (no userinfo/port/percent-escapes), a path
+   * with no dot-segments, no '%'/'#'/':'/'@' anywhere after the scheme —
+   * and -1 otherwise. For fast-form input, canonicalKeyUrl(s) == s and
+   * canonicalRoot(s) == s.take(slash+1), so the discovered-URL hot loop
+   * (tens of millions of outlinks per sweep) skips the full RFC machinery
+   * (regex parse + percent/dot normalization + re-render), whose
+   * allocation rate dominated GC at high parallelism. Equivalence with
+   * the slow path is property-tested in UrlsSpec; any doubt falls through
+   * to the slow path, so this can only be conservatively wrong.
+   */
+  private[functions] def canonicalKeySlash(s: String): Int = {
+    val schemeEnd =
+      if (s.startsWith("http://")) 7
+      else if (s.startsWith("https://")) 8
+      else return -1
+    val slash = s.indexOf('/', schemeEnd)
+    if (slash <= schemeEnd) return -1 // empty host or no path
+    var i = schemeEnd
+    while (i < slash) { // host: lowercase reg-name only
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '.' || c == '-'
+      if (!ok) return -1
+      i += 1
+    }
+    i = slash
+    var prev    = ' '
+    var dots    = 0     // run of '.' directly after a '/' (path only)
+    var inQuery = false // query is kept verbatim — no dot-segment logic
+    while (i < s.length) { // path+query: conservative safe charset
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '/' || c == '.' || c == '-' ||
+        c == '_' || c == '~' || c == '?' || c == '=' || c == '&'
+      if (!ok) return -1
+      if (!inQuery) {
+        if (c == '?') {
+          if (dots == 1 || dots == 2) return -1 // path ends "/." or "/.."
+          inQuery = true
+        } else if (c == '/') {
+          if (dots == 1 || dots == 2) return -1 // "/./" or "/../"
+          dots = 0
+        } else if (c == '.' && (prev == '/' || (dots > 0 && dots < 3))) {
+          if (prev == '/') dots = 1 else dots += 1
+        } else dots = 3 // segment is not a pure dot-run
+        prev = c
+      }
+      i += 1
+    }
+    if (!inQuery && (dots == 1 || dots == 2)) -1 // trailing "/." or "/.."
+    else slash
+  }
+
+  /** Canonical crawl/cache key form: canonicalize then drop fragment.
+    * Already-canonical inputs short-circuit (see canonicalKeySlash). */
   def canonicalKeyUrl(s: String): Option[String] =
-    canonicalize(stripFragment(s))
+    if (canonicalKeySlash(s) > 0) Some(s)
+    else canonicalize(stripFragment(s))
 
   /** X4/K5: root = "/" resolved against the URI, i.e. scheme://host[:port]/
     * (port preserved when non-default; db.c:840-845). */
-  def canonicalRoot(s: String): Option[String] = parse(s).map { u =>
-    val port = u.port.filter(p => !u.defaultPort.contains(p))
-    val ps   = port.map(":" + _).getOrElse("")
-    s"${u.scheme}://${u.host}$ps/"
+  def canonicalRoot(s: String): Option[String] = {
+    val slash = canonicalKeySlash(s)
+    if (slash > 0) Some(s.substring(0, slash + 1))
+    else parse(s).map { u =>
+      val port = u.port.filter(p => !u.defaultPort.contains(p))
+      val ps   = port.map(":" + _).getOrElse("")
+      s"${u.scheme}://${u.host}$ps/"
+    }
   }
 
   // Hot path (runs per discovered URL): thread-local digest (getInstance

@@ -258,7 +258,15 @@ object CrawlRound {
     // The step output fans out to 7 consumers — persist ONCE as a flat
     // DataFrame; the columnar cache serves each consumer a pruned column
     // slice (the wide text/body columns are read only by their consumers).
-    val stepOuts: DataFrame = outs.toDF().persist()
+    // OFF_HEAP when the session has an off-heap pool: the round's bulky
+    // caches otherwise fill the GC old generation (25-50% of big-sweep
+    // wall went to collector pauses).
+    val stateLevel =
+      if (spark.conf.getOption("spark.memory.offHeap.enabled")
+          .contains("true"))
+        org.apache.spark.storage.StorageLevel.OFF_HEAP
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val stepOuts: DataFrame = outs.toDF().persist(stateLevel)
     val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
     val t0 = System.nanoTime()
     val picksCount = stepOuts.count()
@@ -296,7 +304,7 @@ object CrawlRound {
 
     val genuinelyNew = SeenFilter
       .filterNew(spark, candidates, seenKeys, bloom)
-      .persist()
+      .persist(stateLevel)
 
     val newEntries: Dataset[FrontierEntry] = genuinelyNew
       .flatMap(c => Step.newFrontierEntryFromCanon(c.url, c.url_hash, now))

@@ -100,10 +100,14 @@ final class DeltaState[T](spark: SparkSession, keyCol: String)
     inserts.size > 24 || overlayRows > math.max(1L << 20, baseRows / 4)
 
   /** Fold overlay+inserts into a fresh materialized base (O(table), paid
-    * rarely — the LSM amortization). */
+    * rarely — the LSM amortization). The coalesce re-bounds the partition
+    * count the accumulated unions would otherwise carry forward. */
   def compact(): Unit = {
     val total = rows
-    val b = view.localCheckpoint(true)
+    val par = spark.sparkContext.defaultParallelism
+    val p = math.max(par.toLong,
+      math.min(total / 200000L + 1L, par * 8L)).toInt
+    val b = view.coalesce(p).localCheckpoint(true)
     setBase(b, total)
   }
 }
@@ -145,5 +149,8 @@ final class AppendState[T](spark: SparkSession, keyCol: String)
 
   def needsCompaction: Boolean = parts.size > 24
 
-  def compact(): Unit = setBase(view.localCheckpoint(true))
+  def compact(): Unit = {
+    val par = spark.sparkContext.defaultParallelism
+    setBase(view.coalesce(par * 2).localCheckpoint(true))
+  }
 }

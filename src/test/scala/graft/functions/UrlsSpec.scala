@@ -40,6 +40,37 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonical-key fast path ≡ full canonicalization (property)") {
+    // Every input, fast-form or not, must give exactly what the full RFC
+    // machinery gives — the fast path may only skip work, never change
+    // the result. Mix of fast-form urls, near-misses that must fall
+    // through (uppercase host, ports, escapes, dot segments, fragments),
+    // and generated combinations.
+    val gen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP")
+      host   <- Gen.oneOf("example.org", "Example.org", "a-b.c1.de",
+        "e.org:80", "e.org:8080", "u@e.org")
+      path   <- Gen.oneOf("", "/", "/a/b.ttl", "/a//b", "/a/../b", "/./a",
+        "/%41", "/a~_-9", "/a.", "/a..", "/..", "/...", "/a/..")
+      q      <- Gen.oneOf("", "?x=1&y=2", "?a=%41", "?a/./b")
+      f      <- Gen.oneOf("", "#frag")
+    } yield s"$scheme://$host$path$q$f"
+    forAll(gen) { u =>
+      val viaFull = Urls.canonicalize(Urls.stripFragment(u))
+      assert(Urls.canonicalKeyUrl(u) == viaFull, u)
+      val fullRoot = Urls.parse(u).map { p =>
+        val port = p.port.filter(x => !p.defaultPort.contains(x))
+        s"${p.scheme}://${p.host}${port.map(":" + _).getOrElse("")}/"
+      }
+      assert(Urls.canonicalRoot(u) == fullRoot, u)
+    }
+    // the canonical forms themselves must take the fast path unchanged
+    Seq("http://e.org/a/b.ttl", "https://a-1.b.c/x?y=1&z=2",
+      "http://e.org/a...b/c.", "http://h/doc7.ttl").foreach { u =>
+      assert(Urls.canonicalKeyUrl(u).contains(u), u)
+    }
+  }
+
   test("X2 fragment strip") {
     assert(Urls.stripFragment("http://e.org/a#b#c") == "http://e.org/a")
     assert(Urls.stripFragment("http://e.org/a") == "http://e.org/a")
