@@ -26,7 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 56g: the bench's N=2M sweep needs headroom beyond the 40g off-heap
+  // pool; tests run far below this (the JVM only commits what it uses)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "56g")}",
   // Throughput collector: the crawl sweep is an allocation-heavy batch
   // workload; G1 spent 25% of a 32-thread 2M-URL sweep in GC pauses,
   // ParallelGC cuts that ~3x (measured: 41.6s -> 12.0s GC on the same
