@@ -166,7 +166,7 @@ object Bench {
     // round is minutes-long too). Smaller N re-measurable via env.
     val bigN = sys.env.get("SPARK_GRAFT_CRAWL_BIGN").map(_.toLong)
       .getOrElse(n * 4)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "300")
       .toLong
     val pairs = crawlSweeps(bigN, outlinks, budgetSec)
     // Efficiency is computed PER PAIR (the two sweeps of a pair run
@@ -194,14 +194,14 @@ object Bench {
     // allows any N/4N pair): at ≤8 threads neither the shared memory bus
     // nor the single JVM's fixed GC wall saturates, so this pair isolates
     // the ENGINE's scalability from the one-box ceiling that caps 8v32
-    val smallN = bigN / 4
+    val smallN = bigN / 8
     val s2  = oneSweep(2, smallN, outlinks)
     val s8b = oneSweep(8, smallN, outlinks)
     val eff28 = ((s8b.fetched / s8b.wall) / (s2.fetched / s2.wall)) / 4.0
 
     // --- flatness: per-round wall while the frontier grows ~16× ---------
     val flatN = sys.env.get("SPARK_GRAFT_FLAT_N").map(_.toLong)
-      .getOrElse(math.max(n / 10, 20000L))
+      .getOrElse(math.max(n / 20, 15000L))
     val flatRounds = 8
     val (flatWalls, flatRows) = flatnessSweep(flatN, flatRounds, outlinks)
     // skip round 1 (the one genuinely bigger round: 15n discoveries) and
