@@ -103,6 +103,17 @@ final case class CrawlConfig(
       * rdf.c:208-239). */
     useHtmlProcessor: Boolean = false,
     defaultRate: Int = 1000, // ms (db.c:1285)
+    /** F6 min-TTL cache gate (crawl_set_cache_min analog): a cached copy
+      * younger than this many logical seconds short-circuits the fetch as
+      * "unchanged" (libcrawl/fetch.c:76-84). The reference never configures
+      * it (p_libcrawl.h:116) so the default 0 keeps every trace identical. */
+    cacheMin: Long = 0L,
+    /** Response-header size cap in bytes: the reference aborts the transfer
+      * when the accumulated header block would exceed MAX_HEADERS_SIZE
+      * (libcrawl/fetch.c:28,270-272) — curl then fails the perform, which
+      * surfaces as status 504 / FAILED (fetch.c:259-266), or a rollback to
+      * the cached copy when one exists (fetch.c:268-281). */
+    maxHeaderBytes: Int = 8192,
     /** Per-root rate overrides (root URL → ms), cf. crawl.conf rate. */
     hostRateOverrides: Map[String, Int] = Map.empty,
     maxRounds: Int = 100,

@@ -78,16 +78,26 @@ object Step {
       stateAtDequeue: String,
       now: Long,
       cached: Option[CachedInfo],
-      web: Option[WebEntry],
+      web0: Option[WebEntry],
       cfg: CrawlConfig,
       robotsBody: Option[Array[Byte]] = None): StepResult = {
 
     val force     = stateAtDequeue == CrawlState.Force
     val cacheTime = cached.map(_.updated)
 
-    // min-TTL gate (fetch.c:76-84; cache_min is 0 in practice)
+    // Header-size cap (fetch.c:28,270-272): once the accumulated block +
+    // NUL needs an allocation beyond MAX_HEADERS_SIZE the header callback
+    // returns 0 (the 128-byte alloc granularity divides 8192, so exactly
+    // 8191 block bytes survive), curl aborts the transfer, and the perform
+    // fails with no status parsed — exactly the low-level-fetch-error shape
+    // the `web = None` path below models (status 504, fetch.c:259-266;
+    // rollback-if-cached via the >=500 rule, else failed).
+    val web = web0.filter(_.headersRaw.length < cfg.maxHeaderBytes)
+
+    // min-TTL gate (fetch.c:76-84; cache_min is 0 in practice —
+    // p_libcrawl.h:116 — but the crawl_set_cache_min knob exists)
     // now - cachetime < cache_min → unchanged without fetching
-    if (cacheTime.exists(ct => !force && now - ct < 0))
+    if (cacheTime.exists(ct => !force && now - ct < cfg.cacheMin))
       return StepResult(url, Path.Unchanged, cached.get.status,
         stateAtDequeue, 0, commit = false, None, Vector.empty)
 

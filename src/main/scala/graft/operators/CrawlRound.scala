@@ -93,6 +93,10 @@ object CrawlRound {
       newF: FrontierEntry,
       newH: HostEntry,
       commit: Boolean,
+      /** Whether a fetch_log row already existed for this url (the J5 cache
+        * join hit) — splits the log delta into replace-by-key updates vs
+        * brand-new inserts without re-probing the table. */
+      hadCache: Boolean,
       status: Int,
       text: Option[String],
       body: Option[Array[Byte]],
@@ -108,7 +112,13 @@ object CrawlRound {
       newFrontier: Dataset[FrontierEntry],
       updatedHosts: Dataset[HostEntry],
       newHosts: Dataset[HostEntry],
-      logDelta: Dataset[CacheRow],
+      /** fetch_log rows replacing existing keys (cache hit → re-fetch). */
+      logUpdates: Dataset[CacheRow],
+      /** fetch_log rows for never-before-fetched keys (DeltaState insert
+        * contract: the overlay must only ever replace existing keys —
+        * first-fetch rows routed there would leave the tracked row count
+        * at 0 and grow the overlay without bound). */
+      logInserts: Dataset[CacheRow],
       pagesDelta: Dataset[PageStoreRow],
       extractedDelta: Dataset[ExtractedRow],
       trace: Dataset[TraceKeyed],
@@ -248,7 +258,8 @@ object CrawlRound {
              Step.rootUnchanged(hAdvanced, now))
         }
         StepOut(pick.k1, pick.k2, pick.k3, pick.k4, f.url, f.state,
-          newF, newH, res.commit, res.status, res.extractedText,
+          newF, newH, res.commit, cached.isDefined, res.status,
+          res.extractedText,
           if (res.commit) Some(Option(webRow).map(_.body)
             .getOrElse(Array.emptyByteArray)) else None,
           res.outlinks)
@@ -277,10 +288,13 @@ object CrawlRound {
     val updatedF = stepOuts.select($"newF.*").as[FrontierEntry]
     val updatedH = stepOuts.select($"newH.*").as[HostEntry]
     val commits  = stepOuts.filter(col("commit"))
-    val logDelta = commits
+    def logRows(cacheHit: Boolean): Dataset[CacheRow] = commits
+      .filter(if (cacheHit) col("hadCache") else !col("hadCache"))
       .select($"newF.url_hash".as("url_hash"), lit(now).as("updated"),
         col("status"))
       .as[CacheRow]
+    val logUpdates = logRows(cacheHit = true)
+    val logInserts = logRows(cacheHit = false)
     val pagesDelta = commits
       .select($"newF.url_hash".as("url_hash"), col("url"),
         lit(now).as("updated"),
@@ -316,7 +330,7 @@ object CrawlRound {
 
     RoundResult(picksCount, fetchPhaseSec,
       updatedF, newEntries, updatedH, newHosts,
-      logDelta, pagesDelta, extractedDelta, trace,
+      logUpdates, logInserts, pagesDelta, extractedDelta, trace,
       cleanup = () => { stepOuts.unpersist(); genuinelyNew.unpersist() })
   }
 }

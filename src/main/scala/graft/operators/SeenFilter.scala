@@ -129,6 +129,10 @@ object SeenFilter {
         filters = emptyBatch() :: filters
         currentCount = 0L
       }
+      require(filters.head.isCompatible(batch),
+        s"bloom batch incompatible with epoch filter (bits ${batch.bitSize}" +
+          s" vs ${filters.head.bitSize}) — was the batch built by " +
+          "buildBloom with this family?")
       filters.head.mergeInPlace(batch)
       currentCount += count
     }
@@ -157,10 +161,30 @@ object SeenFilter {
   /** Build a batch bloom over a hash column on the executors via the
     * built-in DataFrameStatFunctions aggregate (no RDD escape, no collect
     * of keys to the driver), sized with the target family's parameters so
-    * the filters merge cleanly (equal bit arrays). */
-  def buildBloom(hashes: Dataset[String], family: SeenBloom): BloomFilter =
-    hashes.toDF("url_hash")
+    * the filters merge cleanly (equal bit arrays).
+    *
+    * stat.bloomFilter routes through bloom_filter_agg, which SILENTLY
+    * clamps the requested size to spark.sql.optimizer.runtime.bloomFilter
+    * .{maxNumItems,maxNumBits} (defaults 4M items / 64 Mbit) — a family
+    * with epochCapacity above the clamp (the 10^8 large-deployment setting)
+    * would get back a smaller, incompatible filter and mergeBatch would
+    * throw. Raise both confs to this family's needs before building. */
+  def buildBloom(hashes: Dataset[String], family: SeenBloom): BloomFilter = {
+    val conf = hashes.sparkSession.conf
+    val needBits = family.emptyBatch().bitSize
+    def raise(key: String, need: Long): Unit =
+      if (conf.getOption(key).forall(_.toLong < need))
+        conf.set(key, need.toString)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      family.epochCapacity)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", needBits)
+    val bf = hashes.toDF("url_hash")
       .stat.bloomFilter("url_hash", family.epochCapacity, family.fpp)
+    require(bf.bitSize == needBits,
+      s"bloom_filter_agg returned ${bf.bitSize} bits, family needs " +
+        s"$needBits — runtime bloom-filter confs still clamping?")
+    bf
+  }
 
   /** Candidate with its url_hash (already canonicalized). */
   final case class Candidate(url_hash: String, url: String)

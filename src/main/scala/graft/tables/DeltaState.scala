@@ -66,14 +66,14 @@ final class DeltaState[T](spark: SparkSession, keyCol: String)
       .as[T](enc)
       .unionByName(updates)
 
-  /** Swap in a materialized overlay; the old one is unpersisted (its
-    * lineage stays intact, so a rare recompute through it is still
-    * correct — every transform in the chain is value-deterministic). */
+  /** Swap in a materialized overlay. Overlays are local-checkpointed, and
+    * Dataset.unpersist is a no-op for those (the blocks are RDD-level, not
+    * CacheManager entries) — the old overlay's storage is reclaimed by the
+    * ContextCleaner once the new overlay (which references it only through
+    * already-computed data, not lineage) drops the last reference. */
   def swapOverlay(newOverlay: Dataset[T], n: Long): Unit = {
-    val old = overlay
     overlay = newOverlay
     overlayRows = n
-    old.unpersist()
   }
 
   /** Record a materialized insert delta (keys disjoint from all existing

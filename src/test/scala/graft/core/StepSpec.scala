@@ -223,6 +223,59 @@ class StepSpec extends AnyFunSuite {
     assert(fErr.next_fetch == now + 2 + 604800 && fErr.error_count == 6)
   }
 
+  test("header cap: ≥8192-byte raw block aborts the transfer — failed " +
+       "without cache, rollback→unchanged with cache (fetch.c:28,262-281)") {
+    val fat = web(linkHeaders = Seq("</x>; rel=\"" + "a" * 9000 + "\""))
+    assert(fat.headersRaw.length >= 8192)
+    // no cache: abort ≙ curl error ≙ the web=None path → 406 under the
+    // ctype whitelist (mirrors the "504 with ctype whitelist" case)
+    val r1 = fetchAndProcess(url, CrawlState.New, now, None, Some(fat), cfg)
+    assert(r1.path == Path.Failed && !r1.commit && r1.outlinks.isEmpty)
+    // with cache: status 504 ≥ 500 → rollback → unchanged
+    val r2 = fetchAndProcess(url, CrawlState.Accepted, now,
+      Some(CachedInfo(now - 100, 200)), Some(fat), cfg)
+    assert(r2.path == Path.Unchanged && !r2.commit)
+    // open whitelist, no cache: committed 504, processor SKIPs — identical
+    // to the recorded no-web-entry behavior
+    val r3 = fetchAndProcess(url, CrawlState.New, now, None, Some(fat),
+      cfg.copy(ctypeWhitelist = Nil))
+    assert(r3.path == Path.Updated && r3.status == 504 &&
+      r3.state == CrawlState.Skipped)
+  }
+
+  test("header cap boundary: 8191-byte block still fetches (128-byte alloc " +
+       "granularity divides 8192 — p_libcrawl.h:77, fetch.c:262-267)") {
+    val base = web()
+    val pad = 8191 - base.headersRaw.length - "X-Pad: \r\n".length
+    val exact = WebEntry(base.warcTs, base.body,
+      base.headersRaw + "X-Pad: " + "p" * pad + "\r\n")
+    assert(exact.headersRaw.length == 8191)
+    val r = fetchAndProcess(url, CrawlState.New, now, None, Some(exact), cfg)
+    assert(r.path == Path.Updated && r.status == 200 && r.commit)
+  }
+
+  test("F6: cache_min gate — cached copy younger than cacheMin short-" +
+       "circuits to unchanged without fetching; FORCE bypasses " +
+       "(fetch.c:76-84)") {
+    val cfgMin = cfg.copy(cacheMin = 300L)
+    val w = web(warcTs = now - 10) // modified since cache → would refetch
+    val r = fetchAndProcess(url, CrawlState.Accepted, now,
+      Some(CachedInfo(now - 100, 200)), Some(w), cfgMin)
+    assert(r.path == Path.Unchanged && !r.commit && r.status == 200)
+    // cache older than the window → normal fetch proceeds
+    val r2 = fetchAndProcess(url, CrawlState.Accepted, now,
+      Some(CachedInfo(now - 400, 200)), Some(w), cfgMin)
+    assert(r2.path == Path.Updated && r2.status == 200)
+    // FORCE ignores the gate (fetch.c:77 `!(flags & COF_FORCE)`)
+    val r3 = fetchAndProcess(url, CrawlState.Force, now,
+      Some(CachedInfo(now - 100, 200)), Some(w), cfgMin)
+    assert(r3.path == Path.Updated && r3.commit)
+    // default cacheMin=0 keeps the gate closed (reference practice)
+    val r4 = fetchAndProcess(url, CrawlState.Accepted, now,
+      Some(CachedInfo(now - 100, 200)), Some(w), cfg)
+    assert(r4.path == Path.Updated)
+  }
+
   test("J2: newFrontierEntry canonicalizes, strips fragment, derives keys") {
     val e = Step.newFrontierEntry("HTTP://E.org:80/a#f", now, force = false).get
     assert(e.url == "http://e.org/a" && e.state == CrawlState.New)

@@ -82,6 +82,18 @@ class SparkCrawlSpec extends SparkTestBase {
     }
   }
 
+  test("fetch_log delta routing honors the DeltaState contract: tracked " +
+       "rows == actual distinct keys (first-fetch→insert, refetch→overlay)") {
+    val (_, drv) = shared
+    // the shared run refetches every page after the TTL jump, so both the
+    // insert path (round 1 fetches) and the overlay path (refetches of
+    // existing keys) are exercised
+    val actual = drv.fetchLog.collect()
+    assert(actual.nonEmpty)
+    assert(actual.map(_.url_hash).distinct.length == actual.length)
+    assert(drv.fetchLogRows == actual.length.toLong)
+  }
+
   test("budget truncates the trace at the same point") {
     val c = FixtureWeb.config(budget = 7)
     val sim = freshSim(c)

@@ -67,4 +67,20 @@ class SeenFilterSpec extends SparkTestBase {
       .collect().map(_.url_hash).toSet
     assert(got2 == expected)
   }
+
+  test("buildBloom above the runtime-bloom-filter clamp stays mergeable " +
+       "(large-deployment epochCapacity > 4M default maxNumItems)") {
+    // bloom_filter_agg silently clamps to spark.sql.optimizer.runtime
+    // .bloomFilter.{maxNumItems,maxNumBits}; an 8M-capacity family used to
+    // get back a 4M-sized filter and mergeBatch threw
+    // IncompatibleMergeException. buildBloom must raise the confs itself.
+    import spark.implicits._
+    val family = new SeenBloom(epochCapacity = 8L << 20)
+    val keys = (0 until 5000).map(i => f"$i%032x").toDS()
+    val batch = SeenFilter.buildBloom(keys, family)
+    assert(batch.bitSize == family.emptyBatch().bitSize)
+    family.mergeBatch(batch, 5000) // must not throw
+    assert(family.mightContain(f"${42}%032x"))
+    assert(!(0 until 1000).forall(i => family.mightContain(f"${i + 10000}%032x")))
+  }
 }
