@@ -62,6 +62,7 @@ object SparkEntry {
     "q31_ann_ivf"       -> (AnnOps.ivfTopK _),
     "q32_embed_norms"   -> (AnnOps.norms _),
     "q33_embed_neardup" -> (AnnOps.embedNearDup _),
+    "q34_ann_cells"     -> (AnnOps.cells _),
     // multimodal plumbing
     "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
   )
@@ -88,6 +89,7 @@ object SparkEntry {
     "q31_ann_ivf"       -> AnnOps.ivfTopKSql,
     "q32_embed_norms"   -> AnnOps.normsSql,
     "q33_embed_neardup" -> AnnOps.embedNearDupSql,
+    "q34_ann_cells"     -> AnnOps.cellsSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
   )
 }

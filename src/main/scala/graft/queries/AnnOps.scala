@@ -10,12 +10,22 @@ import org.apache.spark.sql.functions._
  *   product is a codegen'd `aggregate(zip_with(...))` over doubles
  *   (sequential fold → bit-identical to the DuckDB oracle's explicit
  *   element sum); similarities exported as round(cos·1e6) integers.
- * - ivfTopK: the scale path — coarse partitioning (here the `label`
- *   column as the IVF cell) restricts each query to one cell, turning the
- *   O(Q·N) scan into O(Q·N/cells); at 100 TB the cell assignment is a
- *   k-means/LSH bucket and the join is a co-partitioned shuffle instead
- *   of a broadcast cross-join.
+ * - cells / ivfTopK: the index-BUILD half of ANN — a random-hyperplane
+ *   signature (sign of dot(embedding, h_p) for k seeded deterministic ±1
+ *   hyperplanes, the embedding-space member of the SimHash family q14
+ *   applies to text) COMPUTES the coarse cell from the vector itself; the
+ *   search restricts each query to its own cell, turning the O(Q·N) scan
+ *   into O(Q·N/cells) with the join a co-partitioned shuffle on `cell`.
+ * - embedNearDup: banded hyperplane LSH (B bands × R bits, exactly q12's
+ *   band→bucket-join shape): candidate pairs share ≥1 band signature, then
+ *   an exact cosine filter verifies only those candidates — never an
+ *   all-pairs compare, and no reliance on a pre-existing partition column.
  * - norms: per-vector L2 norm (integer-µ export).
+ *
+ * The hyperplanes are derived from a quadratic integer hash of
+ * (plane, dimension) — pure BIGINT arithmetic expressible identically in
+ * Spark SQL and DuckDB, so the oracle reproduces every signature bit
+ * exactly (both engines left-fold the same doubles in index order).
  */
 object AnnOps {
 
@@ -24,6 +34,56 @@ object AnnOps {
 
   private val dot =
     "aggregate(zip_with(%s, %s, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
+
+  // ------------------------------------------------ hyperplane signatures
+
+  /** IVF coarse-quantizer width: 4 planes → 16 cells. */
+  private val CellBits = 4
+  /** Near-dup banding: 8 bands × 8 bits, plane indices offset by 100 so
+    * the band family is independent of the cell family. */
+  private val Bands = 8
+  private val BandBits = 8
+  private val BandBase = 100
+
+  /** ±1 hyperplane component for plane `p`, element index `i` (1-based):
+    * sign of a quadratic integer hash of x = p·64+i. Quadratic, not an
+    * LCG — bit 30 of a LINEAR map correlates plane pairs at fixed offsets
+    * (arithmetic progressions mod 2^31), which clumps signatures. Pure
+    * BIGINT arithmetic → byte-identical in Spark SQL and DuckDB. */
+  private def signCase(p: Int): String = {
+    val x = s"(CAST($p*64 + i AS BIGINT))"
+    s"(CAST(CASE WHEN (($x*$x*40503 + $x*69069 + 12345) % 2147483648) " +
+      "< 1073741824 THEN 1 ELSE -1 END AS DOUBLE))"
+  }
+
+  private def planeDotSpark(c: String, p: Int): String =
+    s"aggregate(sequence(1, 64), cast(0 as double), " +
+      s"(s, i) -> s + cast(element_at($c, i) as double) * ${signCase(p)})"
+
+  private def planeDotDuck(c: String, p: Int): String =
+    s"list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> CAST($c[i] AS DOUBLE) * ${signCase(p)}))"
+
+  /** Integer signature of `bits` sign-bits starting at plane base+band·bits. */
+  private def sig(dotFn: (String, Int) => String, c: String,
+                  base: Int, band: Int, bits: Int): String =
+    (0 until bits).map { r =>
+      s"(CASE WHEN ${dotFn(c, base + band * bits + r)} >= 0 " +
+        s"THEN ${1 << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def cellSpark(c: String): String =
+    sig(planeDotSpark, c, 0, 0, CellBits)
+  private def cellDuck(c: String): String =
+    sig(planeDotDuck, c, 0, 0, CellBits)
+
+  /** q34: the ANN index build itself — every vector's computed cell. */
+  def cells(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      expr(cellSpark("embedding")).as("cell"))
+
+  val cellsSql: String =
+    s"""SELECT vec_id, ${cellDuck("embedding")} AS cell FROM embeddings"""
 
   /** Exact brute-force cosine top-3 for query vectors vec_id < 5 against
     * all vec_id ≥ 5. */
@@ -70,15 +130,18 @@ object AnnOps {
        |      FROM scored)
        |WHERE rn <= 3""".stripMargin
 
-  /** IVF-style partitioned top-3: each query searches only its own coarse
-    * cell (label) — the pruned-scan ANN shape. */
+  /** IVF-style partitioned top-3 with a COMPUTED coarse cell (the
+    * hyperplane signature above — no pre-existing partition column): each
+    * query searches only its own cell, the pruned-scan ANN shape. At
+    * 100 TB the cell is the shuffle/storage partition key and a query
+    * touches 1/2^k of the corpus. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.select(col("vec_id").as("query_id"), col("label"),
+    val e = emb(s, dir).withColumn("cell", expr(cellSpark("embedding")))
+    val q = e.select(col("vec_id").as("query_id"), col("cell"),
       col("embedding").as("qe")).filter(col("query_id") < 5)
-    val c = e.select(col("vec_id").as("neighbor_id"), col("label"),
+    val c = e.select(col("vec_id").as("neighbor_id"), col("cell"),
       col("embedding").as("ce")).filter(col("neighbor_id") >= 5)
-    q.join(c, Seq("label"))
+    q.join(c, Seq("cell"))
       .withColumn("dotqc", expr(dot.format("qe", "ce")))
       .withColumn("nq", expr(dot.format("qe", "qe")))
       .withColumn("nc", expr(dot.format("ce", "ce")))
@@ -88,63 +151,85 @@ object AnnOps {
           .partitionBy("query_id")
           .orderBy(col("cos").desc, col("neighbor_id").asc)))
       .filter(col("rn") <= 3)
-      .select(col("query_id"), col("label"), col("neighbor_id"),
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
         round(col("cos") * 1000000).cast("long").as("cos_e6"))
   }
 
   val ivfTopKSql: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe
-       |           FROM embeddings WHERE vec_id < 5),
-       |c AS (SELECT vec_id AS neighbor_id, label, embedding AS ce
-       |      FROM embeddings WHERE vec_id >= 5),
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${cellDuck("embedding")} AS cell FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, cell, embedding AS qe
+       |      FROM e WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS ce
+       |      FROM e WHERE vec_id >= 5),
        |scored AS (
-       |  SELECT query_id, q.label AS label, neighbor_id,
+       |  SELECT query_id, q.cell AS cell, neighbor_id,
        |    ${duckDot.format("qe", "ce")} /
        |      (sqrt(${duckDot.format("qe", "qe")}) *
        |       sqrt(${duckDot.format("ce", "ce")})) AS cos
-       |  FROM q JOIN c ON q.label = c.label)
-       |SELECT query_id, label, neighbor_id,
+       |  FROM q JOIN c ON q.cell = c.cell)
+       |SELECT query_id, cell, neighbor_id,
        |  CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_e6
-       |FROM (SELECT query_id, label, neighbor_id, cos,
+       |FROM (SELECT query_id, cell, neighbor_id, cos,
        |        ROW_NUMBER() OVER (PARTITION BY query_id
        |          ORDER BY cos DESC, neighbor_id) AS rn
        |      FROM scored)
        |WHERE rn <= 3""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs (the dedup family's embedding
-    * member): candidate pairs restricted to the same coarse cell (label —
-    * at scale an LSH/k-means bucket), kept when cos ≥ 0.4 (the corpus
-    * is random noise — 0.4 is ≈3σ of the within-cell cosine null
-    * distribution, so the query returns the genuine outlier pairs; a real
-    * near-dup corpus uses ≥0.95). Exported as integer-µ cosine. */
+    * member), bucketed like q12's MinHash-LSH: a pair is a candidate iff
+    * it shares ≥1 of the 8 band signatures (8 hyperplane bits each), then
+    * ONLY the candidates get the exact-cosine verification (≥ 0.4 — ≈3σ of
+    * this noise corpus's cosine null; a real near-dup corpus uses ≥0.95,
+    * where per-band collision is ~0.29 and 8-band recall ~93%). The join
+    * shuffles (band, sig, vec_id) — never embeddings per band, never
+    * all-pairs, and no pre-existing partition column. */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("eb"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+    val sigs = e.select(col("vec_id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"),
+          expr(sig(planeDotSpark, "embedding", BandBase, b, BandBits))
+            .as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"), Seq("band", "sig"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("vec_b"))
       .withColumn("cos",
         expr(dot.format("ea", "eb")) /
           (sqrt(expr(dot.format("ea", "ea"))) *
            sqrt(expr(dot.format("eb", "eb")))))
       .filter(col("cos") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), col("label"),
+      .select(col("vec_a"), col("vec_b"),
         round(col("cos") * 1000000).cast("long").as("cos_e6"))
   }
 
-  val embedNearDupSql: String =
-    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-       |p AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       |    ${duckDot.format("a.embedding", "b.embedding")} /
-       |      (sqrt(${duckDot.format("a.embedding", "a.embedding")}) *
-       |       sqrt(${duckDot.format("b.embedding", "b.embedding")})) AS cos
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-       |SELECT vec_a, vec_b, label,
-       |  CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_e6
+  val embedNearDupSql: String = {
+    val bands = (0 until Bands).map(b =>
+      s"SELECT vec_id, $b AS band, " +
+        s"${sig(planeDotDuck, "embedding", BandBase, b, BandBits)} AS sig " +
+        "FROM embeddings").mkString(" UNION ALL ")
+    s"""WITH sg AS ($bands),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |p AS (SELECT vec_a, vec_b,
+       |    ${duckDot.format("x.embedding", "y.embedding")} /
+       |      (sqrt(${duckDot.format("x.embedding", "x.embedding")}) *
+       |       sqrt(${duckDot.format("y.embedding", "y.embedding")})) AS cos
+       |  FROM cand JOIN e x ON x.vec_id = vec_a
+       |            JOIN e y ON y.vec_id = vec_b)
+       |SELECT vec_a, vec_b, CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM p WHERE cos >= 0.4""".stripMargin
+  }
 
   /** Per-vector L2 norm in integer micro-units. */
   def norms(s: SparkSession, dir: String): DataFrame =

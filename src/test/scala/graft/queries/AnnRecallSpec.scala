@@ -1,0 +1,82 @@
+package graft.queries
+
+import java.nio.file.Files
+import graft.SparkTestBase
+
+/**
+ * ANN quality gate: on a corpus with genuine near-duplicate structure
+ * (tight clusters — the regime LSH exists for; the sf fixtures are noise),
+ * the computed hyperplane cells/bands must recover most of what the exact
+ * brute-force baseline finds. Deterministic fixture → deterministic recall.
+ */
+class AnnRecallSpec extends SparkTestBase {
+
+  // 10 clusters × 10 members, dim 64; member = center + small noise →
+  // within-cluster cosine ≈ 0.99, cross-cluster ≈ 0 ± 0.12.
+  // vec_id = i, cluster = i % 10, so queries 0..4 hit 5 distinct clusters.
+  lazy val dir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian())
+    val rows = (0 until 100).map { i =>
+      val c = centers(i % 10)
+      val v = Array.tabulate(64)(d =>
+        (c(d) + 0.15 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, i % 10)
+    }
+    val d = Files.createTempDirectory("graft-ann").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  lazy val vecs: Map[Long, Array[Float]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+  }
+
+  test("ivfTopK with computed cells recovers most brute-force top-3 " +
+       "neighbors on a clustered corpus") {
+    val brute = AnnOps.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnOps.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(brute.size == 15)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall (found ${ivf.size})")
+    // every IVF hit must itself be a genuine high-cosine neighbor (same
+    // cluster), not an artifact of the cell partitioning
+    ivf.foreach { case (q, n) =>
+      assert(cosine(vecs(q), vecs(n)) > 0.5, s"ivf pair ($q,$n) not close")
+    }
+  }
+
+  test("banded hyperplane near-dup recovers ≥80% of genuine near-duplicate " +
+       "pairs (the cos≥0.95 regime the bands are tuned for)") {
+    val ids = vecs.keys.toSeq.sorted
+    val genuine = (for {
+      a <- ids; b <- ids if a < b
+      if cosine(vecs(a), vecs(b)) >= 0.4
+    } yield (a, b)).toSet
+    assert(genuine.size >= 400) // 10 clusters × C(10,2) = 450 expected
+    val found = AnnOps.embedNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (genuine intersect found).size.toDouble / genuine.size
+    assert(recall >= 0.8, s"near-dup recall $recall of ${genuine.size}")
+    // precision is exact by construction: every emitted pair passed the
+    // exact cosine filter
+    found.foreach { case (a, b) =>
+      assert(cosine(vecs(a), vecs(b)) >= 0.4 - 1e-9) }
+  }
+}

@@ -49,6 +49,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("source"), p.take(600))
   }
 
+  test("q31 IVF: cell is COMPUTED from the embedding — the label column " +
+       "never appears in the plan, and no CartesianProduct") {
+    val p = planOf(AnnOps.ivfTopK(spark, dir))
+    assert(!p.contains("label"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("cell"), p.take(600))
+  }
+
+  test("q33 near-dup: banded signature join — no label join key, no " +
+       "CartesianProduct, candidates join back to embeddings by id") {
+    val p = planOf(AnnOps.embedNearDup(spark, dir))
+    assert(!p.contains("label"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the pair generator keys on the band signature
+    assert(p.contains("band"), p.take(600))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
