@@ -52,6 +52,8 @@ object SparkEntry {
     "q12_lsh_pairs"     -> (DedupOps.lshCandidatePairs _),
     "q13_jaccard_pairs" -> (DedupOps.jaccardPairs _),
     "q14_simhash"       -> (DedupOps.simhash _),
+    "q15_incr_dedup"    -> (DedupOps.incrDedupExact _),
+    "q16_incr_lsh"      -> (DedupOps.incrLshCandidates _),
     // text analysis
     "q20_lang_id"       -> (TextOps.langId _),
     "q21_quality"       -> (TextOps.qualityScore _),
@@ -81,6 +83,8 @@ object SparkEntry {
     "q12_lsh_pairs"     -> DedupOps.lshCandidatePairsSql,
     "q13_jaccard_pairs" -> DedupOps.jaccardPairsSql,
     "q14_simhash"       -> DedupOps.simhashSql,
+    "q15_incr_dedup"    -> DedupOps.incrDedupExactSql,
+    "q16_incr_lsh"      -> DedupOps.incrLshCandidatesSql,
     "q20_lang_id"       -> TextOps.langIdSql,
     "q21_quality"       -> TextOps.qualityScoreSql,
     "q22_token_stats"   -> TextOps.tokenStatsSql,

@@ -143,6 +143,116 @@ object DedupOps {
        |  JOIN d b ON p.doc_b = b.doc_id)
        |WHERE inter_cnt * 2 >= union_cnt""".stripMargin
 
+  // ------------------------------------------------- incremental dedup
+  // The corpus-side analog of the crawl's URL-seen problem: dedup a NEW
+  // batch of documents against the accumulated corpus (prior snapshot),
+  // with work ∝ batch, never ∝ corpus. The batch/corpus split is derived
+  // in-query (batch = doc_id ≥ ⌊4·max/5⌋) so the same operator runs at
+  // every scale factor; in production the threshold is the snapshot
+  // boundary and the corpus-side hashes/signatures are precomputed once
+  // and stored (exactly what tables.SnapshotStore holds for the crawl).
+
+  /** 1-row threshold frame: t = ⌊max(doc_id)·4/5⌋. */
+  private def threshold(d: DataFrame): DataFrame =
+    d.agg(expr("cast(max(doc_id)*4 div 5 as bigint)").as("t"))
+
+  /** q15: exact incremental dedup — batch documents whose text hash is NOT
+    * in the corpus, one survivor per hash (min doc_id), with the batch
+    * duplicate count. Reuses the crawl engine's U1/J2 seen-filter stack
+    * verbatim (broadcast bloom prefilter → per-partition cuckoo refinement
+    * → authoritative anti-join, operators/SeenFilter.scala): all three
+    * levels are conservative, so the result is exact and the DuckDB
+    * anti-join oracle reproduces it, while at 10^10-document scale the
+    * bloom drops almost every already-seen batch doc without a shuffle. */
+  def incrDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id"),
+      substring(sha2(col("text"), 256), 1, 32).as("text_hash"))
+      .crossJoin(broadcast(threshold(docs(s, dir))))
+    val corpus = d.filter(col("doc_id") < col("t"))
+      .select(col("text_hash")).as[String]
+    val batch = d.filter(col("doc_id") >= col("t"))
+    val bloom = new graft.operators.SeenFilter.SeenBloom()
+    bloom.mergeBatch(
+      graft.operators.SeenFilter.buildBloom(corpus, bloom), corpus.count())
+    val cands = batch.select(col("text_hash").as("url_hash"),
+      col("doc_id").cast("string").as("url"))
+      .as[graft.operators.SeenFilter.Candidate]
+    graft.operators.SeenFilter.filterNew(s, cands, corpus, bloom)
+      .toDF()
+      .groupBy(col("url_hash").as("text_hash"))
+      .agg(min(col("url").cast("long")).as("keep_id"),
+        count(lit(1)).as("batch_cnt"))
+  }
+
+  val incrDedupExactSql: String =
+    """WITH t AS (SELECT max(doc_id)*4//5 AS t FROM documents),
+      |b AS (SELECT doc_id, substr(sha256(text), 1, 32) AS text_hash
+      |      FROM documents CROSS JOIN t WHERE doc_id >= t.t),
+      |c AS (SELECT DISTINCT substr(sha256(text), 1, 32) AS text_hash
+      |      FROM documents CROSS JOIN t WHERE doc_id < t.t)
+      |SELECT text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS batch_cnt
+      |FROM b WHERE text_hash NOT IN (SELECT text_hash FROM c)
+      |GROUP BY 1""".stripMargin
+
+  /** Per-doc MinHash band signatures computed as a NARROW per-row
+    * expression (shingle array → per-family min inside the row — the same
+    * values as q11's explode+groupBy, without its shuffle): the corpus
+    * side of the incremental join is a pure scan→map pipeline. */
+  private def narrowBands(d: DataFrame): DataFrame = {
+    val shs = "transform(sequence(1, size(toks) - 2), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+      "element_at(toks, i + 2)))"
+    def mh(j: Int): String =
+      s"array_min(transform($shs, sh -> md5(concat('$j', ':', sh))))"
+    val bandStructs = (0 until 4).map(b =>
+      s"named_struct('b', ${b}L, 'band_hash', " +
+        s"md5(concat_ws('|', ${mh(2 * b)}, ${mh(2 * b + 1)})))")
+      .mkString("array(", ", ", ")")
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(bandStructs)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"),
+        col("bs.band_hash").as("band_hash"))
+  }
+
+  /** q16: incremental LSH candidates — batch docs vs corpus docs sharing a
+    * MinHash band bucket (q12's semantics, restricted to new×old pairs).
+    * The batch band signatures are BROADCAST, so the corpus side streams
+    * scan→map→join with ZERO shuffle of corpus rows; the only exchange in
+    * the plan carries candidate pairs (∝ batch). That is the shape that
+    * scales: a 10^10-doc corpus is never repartitioned to absorb a
+    * 10^6-doc batch. */
+  def incrLshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = narrowBands(docs(s, dir))
+      .crossJoin(broadcast(threshold(docs(s, dir))))
+    val corpusB = bands.filter(col("doc_id") < col("t"))
+      .select(col("doc_id").as("corpus_doc"), col("b"), col("band_hash"))
+    val batchB = bands.filter(col("doc_id") >= col("t"))
+      .select(col("doc_id").as("batch_doc"), col("b"), col("band_hash"))
+    corpusB.join(broadcast(batchB), Seq("b", "band_hash"))
+      .select("batch_doc", "corpus_doc").distinct()
+  }
+
+  val incrLshCandidatesSql: String = {
+    val shs = "list_transform(generate_series(1, len(toks) - 2), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    def mh(j: Int): String =
+      s"list_min(list_transform($shs, sh -> md5('$j' || ':' || sh)))"
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, CAST($b AS BIGINT) AS b, " +
+        s"md5(${mh(2 * b)} || '|' || ${mh(2 * b + 1)}) AS band_hash FROM d")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |bands AS ($bandRows),
+       |t AS (SELECT max(doc_id)*4//5 AS t FROM documents)
+       |SELECT DISTINCT n.doc_id AS batch_doc, c.doc_id AS corpus_doc
+       |FROM bands c JOIN bands n ON c.b = n.b AND c.band_hash = n.band_hash
+       |CROSS JOIN t
+       |WHERE c.doc_id < t.t AND n.doc_id >= t.t""".stripMargin
+  }
+
   /** 16-bit SimHash over distinct unigrams (token hash = first 16 bits of
     * md5; bit b of the simhash = sign of Σ ±1 over tokens). */
   def simhash(s: SparkSession, dir: String): DataFrame =

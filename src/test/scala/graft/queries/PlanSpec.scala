@@ -66,6 +66,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("band"), p.take(600))
   }
 
+  test("q16 incremental LSH: corpus side never shuffles — batch bands " +
+       "broadcast, band signatures a narrow per-row expression") {
+    val p = planOf(DedupOps.incrLshCandidates(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // the only hash-partitioned exchange carries candidate PAIRS (the
+    // post-join distinct); corpus rows flow scan→map→broadcast-join
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges hash exchanges:\n${p.take(1200)}")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
