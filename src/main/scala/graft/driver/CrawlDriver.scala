@@ -532,6 +532,55 @@ final class CrawlDriver(
         .head(1).headOption.map(_.body)
     }
 
+  /** crawl-mirror analog (reference: libcrawl/utils/crawl-mirror.c — a
+    * scoped bulk dump of cached objects): write every stored payload plus
+    * a JSON sidecar under `outDir` in the disk cache's sharded layout
+    * `xx/yy/<hash>[.json]` (xx/yy = first two hex pairs of the cache key,
+    * caches/disk.c:349-375), optionally scoped to one host root or to the
+    * hosts carrying a partition label (F8). The dump runs DISTRIBUTED —
+    * each task writes its partition's files; nothing is collected to the
+    * driver — so a 100 TB payload table exports at executor fan-out.
+    * Returns the number of objects written. */
+  def exportMirror(outDir: String, rootUrl: Option[String] = None,
+                   partition: Option[String] = None): Long = {
+    val byRoot: Option[String] =
+      rootUrl.flatMap(Urls.canonicalRoot).map(Urls.urlHash)
+    // the label→roots set is host-table-sized metadata (driver-small, like
+    // the mq consumer's scan), broadcast into the row filter
+    val labelRoots: Option[Set[String]] = partition.map { p =>
+      hosts.filter(col("partition") === p)
+        .select(col("root_hash")).as[String].collect().toSet
+    }
+    val sel = pages.filter { p =>
+      val rh = Urls.canonicalRoot(p.url).map(Urls.urlHash).getOrElse("")
+      byRoot.forall(_ == rh) && labelRoots.forall(_.contains(rh))
+    }
+    val log = fetchLog
+    val withStatus = sel.joinWith(log, sel("url_hash") === log("url_hash"),
+      "left_outer")
+    val base = outDir
+    val written = spark.sparkContext.longAccumulator("mirror_written")
+    withStatus.foreachPartition {
+      (it: Iterator[(CrawlRound.PageStoreRow, CacheRow)]) =>
+        it.foreach { case (p, c) =>
+          val dir = java.nio.file.Paths.get(base,
+            p.url_hash.substring(0, 2), p.url_hash.substring(2, 4))
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.write(dir.resolve(p.url_hash), p.body)
+          val status = Option(c).map(_.status).getOrElse(0)
+          val esc = p.url.flatMap {
+            case '"' => "\\\""; case '\\' => "\\\\"; case ch => ch.toString
+          }
+          // sidecar subset of the reference's JSON dict
+          // (p_libcrawl.h:47-75): the schedule-relevant scalar fields
+          java.nio.file.Files.writeString(dir.resolve(p.url_hash + ".json"),
+            s"""{"url":"$esc","updated":${p.updated},"status":$status}""")
+          written.add(1)
+        }
+    }
+    written.value
+  }
+
   /** `crawld -t URI` analog (reference: crawld.c:161-174, db.c:610-627):
     * force-add one URI and run a single round over it. */
   def testUri(url: String, t0: Long): Unit = {
