@@ -27,8 +27,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 56g: the bench's N=2M sweep needs headroom beyond the 40g off-heap
-  // pool; tests run far below this (the JVM only commits what it uses)
+  // pool; tests run far below this (the JVM only commits what it uses).
+  // Deliberately NO -Xms pin: A/B-measured on the same VM phase, a
+  // 56g initial heap made the 32-thread sweep's GC 10-18× WORSE (9.97 s
+  // vs 0.55 s on identical tiny sweeps — ParallelGC's huge young gen
+  // pays page-commit/copy in early collections), far outweighing the
+  // first-big-sweep growth cost it was meant to remove. Override for
+  // experiments via SPARK_GRAFT_XMS.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "56g")}",
+) ++ sys.env.get("SPARK_GRAFT_XMS").map(x => s"-Xms$x").toSeq ++
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+    .flatMap(_.split(" ").filter(_.nonEmpty)) ++ Seq(
   // Throughput collector: the crawl sweep is an allocation-heavy batch
   // workload; G1 spent 25% of a 32-thread 2M-URL sweep in GC pauses,
   // ParallelGC cuts that ~3x (measured: 41.6s -> 12.0s GC on the same

@@ -58,6 +58,38 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
+  /** Same-minute pure-CPU 8→32 thread-scaling ceiling: fixed spin work per
+    * thread, ratio of aggregate throughputs normalized by 4. This sandbox
+    * VM's EFFECTIVE parallelism drifts with co-tenancy (measured ceiling
+    * 0.70–0.97 across hours on the same box); no dataflow engine can
+    * out-scale the machine it shares, so the ceiling is recorded beside
+    * each pair to make the pair's efficiency interpretable — the BASELINE
+    * target topology (4× the NODES) never shares one throttled box. */
+  private def cpuCeiling(): Double = {
+    def spin(nt: Int): Double = {
+      val iters = 400000000L
+      val threads = (0 until nt).map { _ =>
+        new Thread(() => {
+          var x = 1L; var j = 0L
+          while (j < iters) {
+            x = x * 6364136223846793005L + 1442695040888963407L; j += 1
+          }
+          if (x == 42L) print("") // defeat dead-code elimination
+        })
+      }
+      val t0 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      nt * iters / ((System.nanoTime() - t0) / 1e9)
+    }
+    spin(8) // JIT/frequency warm
+    // two interleaved samples per level, CONSERVATIVE combine (max ratio):
+    // overstating the ceiling understates efficiency_vs_ceiling, so the
+    // normalized number never flatters the engine
+    val r1 = spin(32) / spin(8)
+    val r2 = spin(32) / spin(8)
+    math.max(r1, r2) / 4.0
+  }
+
   /** One timed sweep in its own session. */
   private def oneSweep(cpus: Int, n: Long, outlinks: Int): Sweep = {
     val spark = session(cpus)
@@ -92,7 +124,7 @@ object Bench {
    * artifact, not in prose).
    */
   private def crawlSweeps(n: Long, outlinks: Int,
-                          budgetSec: Long): Vector[(Sweep, Sweep)] = {
+                          budgetSec: Long): Vector[(Double, Sweep, Sweep)] = {
     val warmSession = session(32)
     try {
       val t0 = 1000000L
@@ -102,11 +134,12 @@ object Bench {
       warm.run(t0, 1)
     } finally warmSession.stop()
     val start = System.nanoTime()
-    var pairs = Vector.empty[(Sweep, Sweep)]
+    var pairs = Vector.empty[(Double, Sweep, Sweep)]
     while (pairs.isEmpty ||
            (pairs.size < 6 &&
              (System.nanoTime() - start) / 1e9 < budgetSec)) {
-      pairs :+= ((oneSweep(8, n, outlinks), oneSweep(32, n, outlinks)))
+      val ceiling = cpuCeiling() // ~3 s, measured immediately before the pair
+      pairs :+= ((ceiling, oneSweep(8, n, outlinks), oneSweep(32, n, outlinks)))
     }
     pairs
   }
@@ -174,7 +207,10 @@ object Bench {
     // round is minutes-long too). Smaller N re-measurable via env.
     val bigN = sys.env.get("SPARK_GRAFT_CRAWL_BIGN").map(_.toLong)
       .getOrElse(n * 4)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1100")
+    // Budget bounds the CAMPAIGN: new pairs start while elapsed < budget
+    // (a pair at N=2M runs ~4-8 min on this VM, so the default records
+    // 2-3 pairs and keeps the whole bench under ~25 min end-to-end).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900")
       .toLong
     val pairs = crawlSweeps(bigN, outlinks, budgetSec)
     // Efficiency is computed PER PAIR (the two sweeps of a pair run
@@ -183,12 +219,12 @@ object Bench {
     // pair a fast-phase local[8] with a slow-phase local[32] and report
     // noise). EVERY pair is recorded with its GC seconds; headline = the
     // best pair, median alongside.
-    val pairEff = pairs.map { case (a, b) =>
-      (a, b, ((b.fetched / b.wall) / (a.fetched / a.wall)) / 4.0,
+    val pairEff = pairs.map { case (ceil, a, b) =>
+      (ceil, a, b, ((b.fetched / b.wall) / (a.fetched / a.wall)) / 4.0,
         ((b.fetched / b.workWall) / (a.fetched / a.workWall)) / 4.0)
     }
-    val (s8, s32, eff, workEff) = pairEff.maxBy(_._3)
-    val sortedEff = pairEff.map(_._3).sorted
+    val (ceil, s8, s32, eff, workEff) = pairEff.maxBy(_._4)
+    val sortedEff = pairEff.map(_._4).sorted
     val medianEff = sortedEff(sortedEff.size / 2)
     val tput8  = s8.fetched / s8.wall
     val tput32 = s32.fetched / s32.wall
@@ -197,8 +233,8 @@ object Bench {
     // per-job driver latency that single-JVM local mode cannot amortize
     val workTput8  = s8.fetched / s8.workWall
     val workTput32 = s32.fetched / s32.workWall
-    val pairsJson = pairEff.map { case (a, b, e, we) =>
-      f"""{"local8_wall_sec":${a.wall}%.2f,"local32_wall_sec":${b.wall}%.2f,"local8_gc_sec":${a.gcSec}%.2f,"local32_gc_sec":${b.gcSec}%.2f,"efficiency":$e%.3f,"work_efficiency":$we%.3f}"""
+    val pairsJson = pairEff.map { case (c, a, b, e, we) =>
+      f"""{"local8_wall_sec":${a.wall}%.2f,"local32_wall_sec":${b.wall}%.2f,"local8_gc_sec":${a.gcSec}%.2f,"local32_gc_sec":${b.gcSec}%.2f,"efficiency":$e%.3f,"work_efficiency":$we%.3f,"cpu_ceiling_8v32":$c%.3f,"efficiency_vs_ceiling":${e / c}%.3f}"""
     }.mkString("[", ",", "]")
 
     // --- second N-vs-4N point at 2 vs 8 cores (the BASELINE criterion
@@ -227,6 +263,6 @@ object Bench {
     val fw = flatWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
     val fr = flatRows.mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$tput32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"n_urls":$bigN,"outlinks_per_page":$outlinks,"discovered":${s32.discovered},"local8_urls_per_sec":$tput8%.1f,"local32_urls_per_sec":$tput32%.1f,"local8_wall_sec":${s8.wall}%.2f,"local32_wall_sec":${s32.wall}%.2f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_median":$medianEff%.3f,"work_local8_urls_per_sec":$workTput8%.1f,"work_local32_urls_per_sec":$workTput32%.1f,"work_scaling_efficiency":$workEff%.3f,"pairs":$pairsJson},"crawl_2v8":{"n_urls":$smallN,"local2_wall_sec":${s2.wall}%.2f,"local8_wall_sec":${s8b.wall}%.2f,"local2_urls_per_sec":${smallN / s2.wall}%.1f,"local8_urls_per_sec":${smallN / s8b.wall}%.1f,"scaling_efficiency":$eff28%.3f},"flatness":{"n":$flatN,"rounds":$flatRounds,"wall_per_round_sec":$fw,"frontier_rows_per_round":$fr,"frontier_growth_x":$growth%.1f,"late_vs_early_wall_ratio":$flatRatio%.2f},"queries_total_sec":$totalQ%.2f}""")
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$tput32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"n_urls":$bigN,"outlinks_per_page":$outlinks,"discovered":${s32.discovered},"local8_urls_per_sec":$tput8%.1f,"local32_urls_per_sec":$tput32%.1f,"local8_wall_sec":${s8.wall}%.2f,"local32_wall_sec":${s32.wall}%.2f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_median":$medianEff%.3f,"cpu_ceiling_8v32":$ceil%.3f,"efficiency_vs_ceiling":${eff / ceil}%.3f,"work_local8_urls_per_sec":$workTput8%.1f,"work_local32_urls_per_sec":$workTput32%.1f,"work_scaling_efficiency":$workEff%.3f,"pairs":$pairsJson},"crawl_2v8":{"n_urls":$smallN,"local2_wall_sec":${s2.wall}%.2f,"local8_wall_sec":${s8b.wall}%.2f,"local2_urls_per_sec":${smallN / s2.wall}%.1f,"local8_urls_per_sec":${smallN / s8b.wall}%.1f,"scaling_efficiency":$eff28%.3f},"flatness":{"n":$flatN,"rounds":$flatRounds,"wall_per_round_sec":$fw,"frontier_rows_per_round":$fr,"frontier_growth_x":$growth%.1f,"late_vs_early_wall_ratio":$flatRatio%.2f},"queries_total_sec":$totalQ%.2f}""")
   }
 }
