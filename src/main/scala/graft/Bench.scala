@@ -38,6 +38,15 @@ object Bench {
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size",
         sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "40g"))
+      // RDD-block serializer kept at the Java default: Kryo was A/B-tested
+      // against the ~140 GB of JavaSerializer UnsafeRow churn the
+      // allocation profile showed, and LOST at 32 threads (local[32] 1M
+      // sweep 39.5 s Java vs 89.9 s Kryo, GC 12.6 s vs 36.6 s — Kryo's
+      // per-thread buffers + pool contention outweigh the readObject
+      // savings at this width). Env hook kept for re-testing.
+      .config("spark.serializer",
+        sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",
+          "org.apache.spark.serializer.JavaSerializer"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -143,15 +143,29 @@ object Urls {
    * dropped, dot-segments removed, percent-encoding normalized, empty path
    * becomes "/". Keeps the fragment (callers that need the crawl/cache key
    * strip it first — X2; fetch.c:471-489 strips on the effective URL too).
+   *
+   * Fast path: an already-canonical-key-form input (no fragment by
+   * charset) IS its canonical form — skips the regex parse + normalize +
+   * re-render entirely. This function runs for every URI term of every
+   * parsed triple (via resolve), which made the slow path the single
+   * largest allocator of a crawl sweep (~230 GB of a 1.15 TB profile).
+   * Equivalence with the slow path is property-tested in UrlsSpec.
    */
-  def canonicalize(s: String): Option[String] = parse(s).map { u =>
-    val port = u.port.filter(p => !u.defaultPort.contains(p))
-    val path0 = if (u.path.isEmpty) "/" else u.path
-    val path = removeDotSegments(normalizePct(path0))
-    u.copy(port = port, path = if (path.isEmpty) "/" else path,
-      query = u.query.map(normalizePct),
-      fragment = u.fragment.map(normalizePct)).render
-  }
+  def canonicalize(s: String): Option[String] =
+    if (canonicalKeySlash(s) > 0) Some(s)
+    else canonicalizeSlow(s)
+
+  /** The full RFC machinery behind canonicalize — exposed package-private
+    * so the fast≡slow property test can compare against it directly. */
+  private[functions] def canonicalizeSlow(s: String): Option[String] =
+    parse(s).map { u =>
+      val port = u.port.filter(p => !u.defaultPort.contains(p))
+      val path0 = if (u.path.isEmpty) "/" else u.path
+      val path = removeDotSegments(normalizePct(path0))
+      u.copy(port = port, path = if (path.isEmpty) "/" else path,
+        query = u.query.map(normalizePct),
+        fragment = u.fragment.map(normalizePct)).render
+    }
 
   /** X2: strip `#fragment` (cache.c:113-118). */
   def stripFragment(s: String): String = s.indexOf('#') match {
@@ -284,6 +298,11 @@ object Urls {
   def resolve(base: String, ref: String): Option[String] = {
     val r = ref.trim
     if (r.isEmpty) return canonicalize(base)
+    // fast path: an absolute, already-canonical reference resolves to
+    // itself (the parse→canonicalize round-trip below is the identity on
+    // fast-form input — property-tested); extraction resolves every URI
+    // node of every triple through here
+    if (canonicalKeySlash(r) > 0) return Some(r)
     if (parse(r).isDefined) return canonicalize(r)
     parse(base).flatMap { b =>
       val (refPath, refQF) = {

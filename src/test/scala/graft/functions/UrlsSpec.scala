@@ -56,8 +56,13 @@ class UrlsSpec extends AnyFunSuite {
       f      <- Gen.oneOf("", "#frag")
     } yield s"$scheme://$host$path$q$f"
     forAll(gen) { u =>
-      val viaFull = Urls.canonicalize(Urls.stripFragment(u))
+      val viaFull = Urls.canonicalizeSlow(Urls.stripFragment(u))
       assert(Urls.canonicalKeyUrl(u) == viaFull, u)
+      // canonicalize's own fast path must equal the full machinery, and
+      // resolve's absolute-ref fast path must equal canonicalize
+      assert(Urls.canonicalize(u) == Urls.canonicalizeSlow(u), u)
+      assert(Urls.resolve("http://unrelated.example/", u) ==
+        Urls.canonicalizeSlow(u), u)
       val fullRoot = Urls.parse(u).map { p =>
         val port = p.port.filter(x => !p.defaultPort.contains(x))
         s"${p.scheme}://${p.host}${port.map(":" + _).getOrElse("")}/"
