@@ -59,6 +59,7 @@ object SparkEntry {
     "q21_quality"       -> (TextOps.qualityScore _),
     "q22_token_stats"   -> (TextOps.tokenStats _),
     "q23_fingerprint"   -> (TextOps.fingerprint _),
+    "q24_bpe_tokens"    -> (TextOps.bpeTokens _),
     // similarity search
     "q30_ann_brute"     -> (AnnOps.bruteForceTopK _),
     "q31_ann_ivf"       -> (AnnOps.ivfTopK _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q21_quality"       -> TextOps.qualityScoreSql,
     "q22_token_stats"   -> TextOps.tokenStatsSql,
     "q23_fingerprint"   -> TextOps.fingerprintSql,
+    "q24_bpe_tokens"    -> TextOps.bpeTokensSql,
     "q30_ann_brute"     -> AnnOps.bruteForceTopKSql,
     "q31_ann_ivf"       -> AnnOps.ivfTopKSql,
     "q32_embed_norms"   -> AnnOps.normsSql,

@@ -115,6 +115,39 @@ object TextOps {
       |  FROM documents)
       |GROUP BY 1, 2""".stripMargin
 
+  /** BPE-ish pretokenizer regex — the GPT-2 pattern's shape (contraction
+    * suffixes | space?+letter run | space?+digit run | space?+other run)
+    * restricted to constructs Java regex and DuckDB's RE2 evaluate
+    * identically: alternation, ASCII classes, no lookaround (RE2 has
+    * none), leftmost-first in both. A training pipeline budgets corpora in
+    * BPE tokens, not whitespace words; this is the cheap upper-bound
+    * pre-count (every real BPE token boundary is a subset of a pretoken). */
+  private val bpeRe =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Token counting, tokenizer-comparative: whitespace words vs BPE-ish
+    * pretokens per document (+ ratio in exact permille). Pure per-row
+    * codegen'd expressions — no shuffle, scales linearly. */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeRe), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .withColumn("bpe_per_ws_permille",
+        expr("(bpe_tokens * 1000) div ws_tokens"))
+
+  val bpeTokensSql: String = {
+    val re = bpeRe.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS bpe_tokens,
+       |  (CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) * 1000)
+       |    // CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS bpe_per_ws_permille
+       |FROM documents""".stripMargin
+  }
+
   /** Document fingerprint: polynomial rolling hash over md5-derived token
     * codes, h ← (h·131 + code) mod 1e9+7 — an order-sensitive content
     * fingerprint (unlike the bag-of-words sketches in DedupOps). */
