@@ -1,0 +1,256 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the embedding / MinHash hot paths.
+ *
+ * Catalyst's higher-order functions (`aggregate`, `transform`, `zip_with`)
+ * are evaluated INTERPRETED — they are the one expression family outside
+ * whole-stage codegen — and the ANN/MinHash queries evaluate thousands of
+ * lambda applications per row (64 plane-dots × 64 elements for a banded
+ * hyperplane signature; 8 MinHash families × ~n shingles each re-deriving
+ * the shingle array). Measured at sf0.1 that interpretation dominated the
+ * suite: q33 24.8 s, q16 12.0 s of a 69.7 s total. These expressions
+ * compute the exact same values in one native call per row and participate
+ * in whole-stage codegen via `doGenCode` (the generated code calls the
+ * static helpers in [[VecNative]]), which is the brief's preferred
+ * extension order: native codegen'd Expression > UDF > anything else.
+ *
+ * PARITY CONTRACT (pinned by VecSigSpec): each expression is bit-identical
+ * to the declarative SQL it replaced, which in turn is byte-identical to
+ * the DuckDB oracle SQL (CORRECTNESS gate):
+ *  - `vec_dot(a, b)`  ≡ `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)),
+ *    0D, (s,v) -> s+v)` — the same left-fold over index order, so the same
+ *    IEEE-754 rounding at every step.
+ *  - `hyper_sigs(e, base, bands, bits)` ≡ the per-plane
+ *    `aggregate(sequence(1,64), 0D, (s,i) -> s + double(e[i])·sign(p,i))`
+ *    sign-bit sums of queries/AnnOps (quadratic integer hash signs —
+ *    AnnOps.signCase documents why quadratic, not linear).
+ *  - `minhash_bands(toks)` ≡ DedupOps.narrowBands' per-row
+ *    `md5(min(md5(j:shingle)) || '|' || min(md5(j':shingle)))` band hashes
+ *    (8 families, 4 bands; lexicographic min over lowercase hex = binary
+ *    UTF8 min, identical in Spark and DuckDB).
+ */
+object VecNative {
+
+  /** Embedding width — the fixtures and oracle SQL both fix dim=64
+    * (`sequence(1, 64)` / `generate_series(1, 64)`). */
+  val Dim = 64
+
+  /** ±1 hyperplane components for planes 0..163 (cell family 0..3, band
+    * family 100..163), element index 1-based — sign of the quadratic
+    * integer hash of x = plane·64 + i (see AnnOps.signCase: a LINEAR hash
+    * correlates plane pairs and clumps signatures; keep quadratic). */
+  private val MaxPlane = 164
+  private lazy val signTable: Array[Double] = {
+    val t = new Array[Double](MaxPlane * Dim)
+    var p = 0
+    while (p < MaxPlane) {
+      var i = 1
+      while (i <= Dim) {
+        val x = (p * Dim + i).toLong
+        val h = (x * x * 40503L + x * 69069L + 12345L) % 2147483648L
+        t(p * Dim + i - 1) = if (h < 1073741824L) 1.0 else -1.0
+        i += 1
+      }
+      p += 1
+    }
+    t
+  }
+
+  /** Sequential left-fold dot product over float arrays — the exact
+    * addition order of the SQL `aggregate` fold (and DuckDB `list_sum`). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Banded hyperplane signatures: `bands` ints of `bits` sign-bits each,
+    * planes base + band·bits + r, bit r set iff dot(e, plane) ≥ 0. */
+  def hyperSigs(e: ArrayData, base: Int, bands: Int, bits: Int): ArrayData = {
+    val tbl = signTable
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0
+      var r = 0
+      while (r < bits) {
+        val off = (base + b * bits + r) * Dim
+        var s = 0.0
+        var i = 0
+        while (i < Dim) {
+          s += e.getFloat(i).toDouble * tbl(off + i)
+          i += 1
+        }
+        if (s >= 0) sig |= 1 << r
+        r += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private def md5Hex(md: MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** MinHash band hashes of a token array (families 0..7, bands 0..3 —
+    * DedupOps' q11/q12/q16 family layout): word-3-gram shingles, per-family
+    * min of md5("j:shingle") hex, band hash = md5(mh(2b) + "|" + mh(2b+1)).
+    * Requires ≥3 tokens (callers filter `size(toks) >= 3`). */
+  def minhashBands(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val nsh = n - 2
+    val shingles = new Array[String](nsh)
+    var i = 0
+    while (i < nsh) {
+      shingles(i) = toks.getUTF8String(i).toString + " " +
+        toks.getUTF8String(i + 1).toString + " " +
+        toks.getUTF8String(i + 2).toString
+      i += 1
+    }
+    val md = md5Local.get()
+    val mins = new Array[String](8)
+    var j = 0
+    while (j < 8) {
+      val prefix = j.toString + ":"
+      var m: String = null
+      var k = 0
+      while (k < nsh) {
+        val h = md5Hex(md, prefix + shingles(k))
+        if (m == null || h.compareTo(m) < 0) m = h
+        k += 1
+      }
+      mins(j) = m
+      j += 1
+    }
+    val out = new Array[AnyRef](4)
+    var b = 0
+    while (b < 4) {
+      out(b) = UTF8String.fromString(
+        md5Hex(md, mins(2 * b) + "|" + mins(2 * b + 1)))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `vec_dot(a, b)` — codegen'd sequential-fold dot product. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vec_dot expects (array<float>, array<float>), got ($l, $r)")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecNative.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecNative.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `hyper_sigs(e, base, bands, bits)` — codegen'd banded hyperplane
+  * signatures (array<int>, one element per band). */
+case class HyperplaneSigs(child: Expression, base: Int, bands: Int,
+                          bits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyper_sigs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyper_sigs expects array<float>, got $t")
+  }
+  override protected def nullSafeEval(e: Any): Any =
+    VecNative.hyperSigs(e.asInstanceOf[ArrayData], base, bands, bits)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecNative.hyperSigs($c, $base, $bands, $bits)")
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneSigs = copy(child = newChild)
+}
+
+/** `minhash_bands(toks)` — codegen'd per-row MinHash band hashes
+  * (array<string> of 4). */
+case class MinhashBandHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<string>, got $t")
+  }
+  override protected def nullSafeEval(toks: Any): Any =
+    VecNative.minhashBands(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecNative.minhashBands($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): MinhashBandHashes = copy(child = newChild)
+}
+
+/**
+ * Per-session registration of the native expressions so query code can
+ * invoke them through the public `expr("vec_dot(a, b)")` surface on ANY
+ * SparkSession handed in (the driver's verify harness builds its own
+ * session — a SparkSessionExtensions config would not reach it).
+ * Idempotent: createOrReplaceTempFunction.
+ */
+object GraftFunctions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def register(session: SparkSession): Unit = {
+    val reg = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hyper_sigs",
+      es => HyperplaneSigs(es(0), intLit(es(1), "base"),
+        intLit(es(2), "bands"), intLit(es(3), "bits")), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      es => MinhashBandHashes(es(0)), "built-in")
+  }
+}

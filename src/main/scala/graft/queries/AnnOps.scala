@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
  * Similarity search over the `embeddings` table (Array[Float], dim 64).
  *
  * - bruteForceTopK: exact cosine top-k — the correctness baseline. The dot
- *   product is a codegen'd `aggregate(zip_with(...))` over doubles
- *   (sequential fold → bit-identical to the DuckDB oracle's explicit
- *   element sum); similarities exported as round(cos·1e6) integers.
+ *   product is the native codegen'd `vec_dot` expression
+ *   (functions/VecSig.scala): the same sequential left-fold over doubles
+ *   as the DuckDB oracle's explicit element sum, so bit-identical — but
+ *   one native call per row instead of an interpreted higher-order-
+ *   function chain (Catalyst HOFs don't participate in codegen; the
+ *   interpreted folds were 24.8 s of q33's sf0.1 wall alone);
+ *   similarities exported as round(cos·1e6) integers.
  * - cells / ivfTopK: the index-BUILD half of ANN — a random-hyperplane
  *   signature (sign of dot(embedding, h_p) for k seeded deterministic ±1
  *   hyperplanes, the embedding-space member of the SimHash family q14
@@ -29,11 +33,15 @@ import org.apache.spark.sql.functions._
  */
 object AnnOps {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     s.read.parquet(s"$dir/embeddings.parquet")
+  }
 
-  private val dot =
-    "aggregate(zip_with(%s, %s, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
+  /** Native sequential-fold dot product (≡ the SQL
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)·double(y)), 0D, +)`
+    * fold — parity pinned by VecSigSpec). */
+  private val dot = "vec_dot(%s, %s)"
 
   // ------------------------------------------------ hyperplane signatures
 
@@ -49,16 +57,13 @@ object AnnOps {
     * sign of a quadratic integer hash of x = p·64+i. Quadratic, not an
     * LCG — bit 30 of a LINEAR map correlates plane pairs at fixed offsets
     * (arithmetic progressions mod 2^31), which clumps signatures. Pure
-    * BIGINT arithmetic → byte-identical in Spark SQL and DuckDB. */
+    * BIGINT arithmetic → byte-identical in DuckDB and in the native
+    * VecNative.signTable the Spark side evaluates (parity: VecSigSpec). */
   private def signCase(p: Int): String = {
     val x = s"(CAST($p*64 + i AS BIGINT))"
     s"(CAST(CASE WHEN (($x*$x*40503 + $x*69069 + 12345) % 2147483648) " +
       "< 1073741824 THEN 1 ELSE -1 END AS DOUBLE))"
   }
-
-  private def planeDotSpark(c: String, p: Int): String =
-    s"aggregate(sequence(1, 64), cast(0 as double), " +
-      s"(s, i) -> s + cast(element_at($c, i) as double) * ${signCase(p)})"
 
   private def planeDotDuck(c: String, p: Int): String =
     s"list_sum(list_transform(generate_series(1, 64), " +
@@ -72,15 +77,15 @@ object AnnOps {
         s"THEN ${1 << r} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def cellSpark(c: String): String =
-    sig(planeDotSpark, c, 0, 0, CellBits)
+  /** Native cell signature: one band of CellBits sign-bits at plane base 0
+    * (`hyper_sigs` returns one int per band; element_at is 1-based). */
+  private val cellSpark = s"element_at(hyper_sigs(embedding, 0, 1, $CellBits), 1)"
   private def cellDuck(c: String): String =
     sig(planeDotDuck, c, 0, 0, CellBits)
 
   /** q34: the ANN index build itself — every vector's computed cell. */
   def cells(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).select(col("vec_id"),
-      expr(cellSpark("embedding")).as("cell"))
+    emb(s, dir).select(col("vec_id"), expr(cellSpark).as("cell"))
 
   val cellsSql: String =
     s"""SELECT vec_id, ${cellDuck("embedding")} AS cell FROM embeddings"""
@@ -136,7 +141,7 @@ object AnnOps {
     * 100 TB the cell is the shuffle/storage partition key and a query
     * touches 1/2^k of the corpus. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("cell", expr(cellSpark("embedding")))
+    val e = emb(s, dir).withColumn("cell", expr(cellSpark))
     val q = e.select(col("vec_id").as("query_id"), col("cell"),
       col("embedding").as("qe")).filter(col("query_id") < 5)
     val c = e.select(col("vec_id").as("neighbor_id"), col("cell"),
@@ -186,12 +191,11 @@ object AnnOps {
     * all-pairs, and no pre-existing partition column. */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // all 8 band signatures in ONE native call per row, then posexplode
+    // to the (band, sig) shape the bucket self-join keys on
     val sigs = e.select(col("vec_id"),
-      explode(array((0 until Bands).map(b =>
-        struct(lit(b).as("band"),
-          expr(sig(planeDotSpark, "embedding", BandBase, b, BandBits))
-            .as("sig"))): _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        posexplode(expr(s"hyper_sigs(embedding, $BandBase, $Bands, $BandBits)")))
+      .toDF("vec_id", "band", "sig")
     val cand = sigs.as("a")
       .join(sigs.as("b"), Seq("band", "sig"))
       .filter(col("a.vec_id") < col("b.vec_id"))

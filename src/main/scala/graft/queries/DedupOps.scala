@@ -198,22 +198,18 @@ object DedupOps {
   /** Per-doc MinHash band signatures computed as a NARROW per-row
     * expression (shingle array → per-family min inside the row — the same
     * values as q11's explode+groupBy, without its shuffle): the corpus
-    * side of the incremental join is a pure scan→map pipeline. */
+    * side of the incremental join is a pure scan→map pipeline. The band
+    * hashes come from ONE native codegen'd `minhash_bands` call per row
+    * (functions/VecSig.scala — the interpreted higher-order-function
+    * spelling re-derived the shingle array once per family and cost 12 s
+    * of q16's sf0.1 wall; value parity pinned by VecSigSpec). */
   private def narrowBands(d: DataFrame): DataFrame = {
-    val shs = "transform(sequence(1, size(toks) - 2), " +
-      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-      "element_at(toks, i + 2)))"
-    def mh(j: Int): String =
-      s"array_min(transform($shs, sh -> md5(concat('$j', ':', sh))))"
-    val bandStructs = (0 until 4).map(b =>
-      s"named_struct('b', ${b}L, 'band_hash', " +
-        s"md5(concat_ws('|', ${mh(2 * b)}, ${mh(2 * b + 1)})))")
-      .mkString("array(", ", ", ")")
+    graft.functions.GraftFunctions.register(d.sparkSession)
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(bandStructs)).as("bs"))
-      .select(col("doc_id"), col("bs.b").as("b"),
-        col("bs.band_hash").as("band_hash"))
+      .select(col("doc_id"), posexplode(expr("minhash_bands(toks)")))
+      .toDF("doc_id", "b", "band_hash")
+      .withColumn("b", col("b").cast("long"))
   }
 
   /** q16: incremental LSH candidates — batch docs vs corpus docs sharing a
