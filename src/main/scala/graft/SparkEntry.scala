@@ -66,6 +66,7 @@ object SparkEntry {
     "q32_embed_norms"   -> (AnnOps.norms _),
     "q33_embed_neardup" -> (AnnOps.embedNearDup _),
     "q34_ann_cells"     -> (AnnOps.cells _),
+    "q35_incr_embed"    -> (AnnOps.incrEmbedCandidates _),
     // multimodal plumbing
     "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
   )
@@ -96,6 +97,7 @@ object SparkEntry {
     "q32_embed_norms"   -> AnnOps.normsSql,
     "q33_embed_neardup" -> AnnOps.embedNearDupSql,
     "q34_ann_cells"     -> AnnOps.cellsSql,
+    "q35_incr_embed"    -> AnnOps.incrEmbedCandidatesSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
   )
 }

@@ -235,6 +235,43 @@ object AnnOps {
        |FROM p WHERE cos >= 0.4""".stripMargin
   }
 
+  /** q35: incremental embedding near-dup candidates — the embedding-side
+    * member of the incremental family (q15/q16 are the text side): a NEW
+    * batch of vectors (vec_id ≥ ⌊4·max/5⌋ — in production the snapshot
+    * boundary, with corpus signatures precomputed and stored) against the
+    * accumulated corpus by shared hyperplane band signature. Same scale
+    * shape as q16: batch band signatures BROADCAST, corpus rows stream
+    * scan→sig→broadcast-join with ZERO corpus shuffle; the only hash
+    * exchange carries candidate pairs (∝ batch). A 10^10-vector corpus is
+    * never repartitioned to absorb a 10^6-vector batch. */
+  def incrEmbedCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val sigs = e.select(col("vec_id"),
+        posexplode(expr(s"hyper_sigs(embedding, $BandBase, $Bands, $BandBits)")))
+      .toDF("vec_id", "band", "sig")
+      .crossJoin(broadcast(
+        e.agg(expr("cast(max(vec_id)*4 div 5 as bigint)").as("t"))))
+    val corpus = sigs.filter(col("vec_id") < col("t"))
+      .select(col("vec_id").as("corpus_vec"), col("band"), col("sig"))
+    val batch = sigs.filter(col("vec_id") >= col("t"))
+      .select(col("vec_id").as("batch_vec"), col("band"), col("sig"))
+    corpus.join(broadcast(batch), Seq("band", "sig"))
+      .select("batch_vec", "corpus_vec").distinct()
+  }
+
+  val incrEmbedCandidatesSql: String = {
+    val bands = (0 until Bands).map(b =>
+      s"SELECT vec_id, $b AS band, " +
+        s"${sig(planeDotDuck, "embedding", BandBase, b, BandBits)} AS sig " +
+        "FROM embeddings").mkString(" UNION ALL ")
+    s"""WITH sg AS ($bands),
+       |t AS (SELECT max(vec_id)*4//5 AS t FROM embeddings)
+       |SELECT DISTINCT n.vec_id AS batch_vec, c.vec_id AS corpus_vec
+       |FROM sg c JOIN sg n ON c.band = n.band AND c.sig = n.sig
+       |CROSS JOIN t
+       |WHERE c.vec_id < t.t AND n.vec_id >= t.t""".stripMargin
+  }
+
   /** Per-vector L2 norm in integer micro-units. */
   def norms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)

@@ -78,6 +78,16 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"$exchanges hash exchanges:\n${p.take(1200)}")
   }
 
+  test("q35 incremental embedding candidates: corpus side never shuffles " +
+       "— batch signatures broadcast, no label column") {
+    val p = planOf(AnnOps.incrEmbedCandidates(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("label"), p.take(800))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges hash exchanges:\n${p.take(1200)}")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
