@@ -123,11 +123,11 @@ object VecNative {
     new String(out)
   }
 
-  /** MinHash band hashes of a token array (families 0..7, bands 0..3 —
-    * DedupOps' q11/q12/q16 family layout): word-3-gram shingles, per-family
-    * min of md5("j:shingle") hex, band hash = md5(mh(2b) + "|" + mh(2b+1)).
-    * Requires ≥3 tokens (callers filter `size(toks) >= 3`). */
-  def minhashBands(toks: ArrayData): ArrayData = {
+  /** Per-family MinHash minima of a token array (families 0..7 — DedupOps'
+    * q11/q12/q16 family layout): word-3-gram shingles, per-family min of
+    * md5("j:shingle") hex. Requires ≥3 tokens (callers filter
+    * `size(toks) >= 3`). */
+  private def familyMins(toks: ArrayData): Array[String] = {
     val n = toks.numElements()
     val nsh = n - 2
     val shingles = new Array[String](nsh)
@@ -153,6 +153,24 @@ object VecNative {
       mins(j) = m
       j += 1
     }
+    mins
+  }
+
+  /** The 8 per-family MinHash minima as an array<string> (q11's signature
+    * rows via posexplode). */
+  def minhashSigs(toks: ArrayData): ArrayData = {
+    val mins = familyMins(toks)
+    val out = new Array[AnyRef](8)
+    var j = 0
+    while (j < 8) { out(j) = UTF8String.fromString(mins(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The 4 LSH band hashes (band b = md5(mh(2b) + "|" + mh(2b+1))) as an
+    * array<string> (q12/q16's bucket keys). */
+  def minhashBands(toks: ArrayData): ArrayData = {
+    val mins = familyMins(toks)
+    val md = md5Local.get()
     val out = new Array[AnyRef](4)
     var b = 0
     while (b < 4) {
@@ -208,22 +226,25 @@ case class HyperplaneSigs(child: Expression, base: Int, bands: Int,
       newChild: Expression): HyperplaneSigs = copy(child = newChild)
 }
 
-/** `minhash_bands(toks)` — codegen'd per-row MinHash band hashes
-  * (array<string> of 4). */
-case class MinhashBandHashes(child: Expression) extends UnaryExpression {
+/** `minhash_bands(toks)` / `minhash_sigs(toks)` — codegen'd per-row
+  * MinHash band hashes (array<string> of 4) / family minima (of 8). */
+case class MinhashBandHashes(child: Expression, full: Boolean)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "minhash_bands"
+  override def prettyName: String = if (full) "minhash_sigs" else "minhash_bands"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_bands expects array<string>, got $t")
+      s"$prettyName expects array<string>, got $t")
   }
   override protected def nullSafeEval(toks: Any): Any =
-    VecNative.minhashBands(toks.asInstanceOf[ArrayData])
+    if (full) VecNative.minhashSigs(toks.asInstanceOf[ArrayData])
+    else VecNative.minhashBands(toks.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.VecNative.minhashBands($c)")
+                                   ev: ExprCode): ExprCode = {
+    val fn = if (full) "minhashSigs" else "minhashBands"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecNative.$fn($c)")
+  }
   override protected def withNewChildInternal(
       newChild: Expression): MinhashBandHashes = copy(child = newChild)
 }
@@ -251,6 +272,8 @@ object GraftFunctions {
       es => HyperplaneSigs(es(0), intLit(es(1), "base"),
         intLit(es(2), "bands"), intLit(es(3), "bits")), "built-in")
     reg.createOrReplaceTempFunction("minhash_bands",
-      es => MinhashBandHashes(es(0)), "built-in")
+      es => MinhashBandHashes(es(0), full = false), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sigs",
+      es => MinhashBandHashes(es(0), full = true), "built-in")
   }
 }

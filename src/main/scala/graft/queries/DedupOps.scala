@@ -35,20 +35,8 @@ object DedupOps {
       |  COUNT(*) AS cnt, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Word-3-gram shingles of a doc (needs ≥3 tokens). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("toks")) - 2)).as("i"),
-        col("toks"))
-      .select(col("doc_id"),
-        concat_ws(" ",
-          element_at(col("toks"), col("i")),
-          element_at(col("toks"), col("i") + 1),
-          element_at(col("toks"), col("i") + 2)).as("sh"))
-
+  /** Word-3-gram shingles (needs ≥3 tokens) — the oracle-side spelling;
+    * the Spark side folds shingling into the native minhash expressions. */
   private val shinglesSql: String =
     """SELECT doc_id,
       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
@@ -58,15 +46,22 @@ object DedupOps {
       |    FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
 
   /** MinHash signature: 8 hash families h_j(sh) = md5(j:sh), signature =
-    * per-doc min per family. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(7))).as("j"), col("sh"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("sh"))).as("h"))
-      .groupBy("doc_id", "j")
-      .agg(min(col("h")).as("minhash"))
+    * per-doc min per family — ONE native codegen'd `minhash_sigs` call per
+    * row (functions/VecSig.scala), no shuffle: the per-family min folds
+    * inside the row, so the signature build is a pure scan→map pipeline.
+    * (The explode(shingle×family)+groupBy spelling this replaced computes
+    * identical values — VecSigSpec pins the parity — and remains the shape
+    * to reach for if single documents were ever large enough to need their
+    * shingle set split across tasks; pipeline documents are length-bounded,
+    * and at 100 TB the shuffle it saves is ~8× the corpus token count.) */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr("minhash_sigs(toks)")))
+      .toDF("doc_id", "j", "minhash")
+  }
 
   val minhashSignaturesSql: String =
     s"""SELECT doc_id, j, MIN(md5(j || ':' || sh)) AS minhash
@@ -75,15 +70,11 @@ object DedupOps {
        |GROUP BY 1, 2""".stripMargin
 
   /** MinHash+LSH near-dup candidates: 4 bands × 2 rows; docs sharing any
-    * band bucket become a candidate pair. */
+    * band bucket become a candidate pair. Band hashes come straight from
+    * the narrow per-row `minhash_bands` expression (no signature shuffle —
+    * the only exchanges key on (b, band_hash) for the bucket self-join). */
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
-    val bands = sig
-      .withColumn("b", shiftright(col("j"), 1))
-      .groupBy("doc_id", "b")
-      .agg(md5(concat_ws("|",
-        max(when(col("j") % 2 === 0, col("minhash"))),
-        max(when(col("j") % 2 === 1, col("minhash"))))).as("band_hash"))
+    val bands = narrowBands(docs(s, dir))
     val a = bands.select(col("doc_id").as("doc_a"), col("b"),
       col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("b"),

@@ -86,6 +86,22 @@ class VecSigSpec extends SparkTestBase {
     assert(d.count() > 400)
   }
 
+  test("minhash_sigs ≡ interpreted per-family array_min(md5) minima, " +
+       "all documents") {
+    GraftFunctions.register(spark)
+    val shs = "transform(sequence(1, size(toks) - 2), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+      "element_at(toks, i + 2)))"
+    val hofSigs = (0 until 8).map(j =>
+      s"array_min(transform($shs, sh -> md5(concat('$j', ':', sh))))")
+      .mkString("array(", ", ", ")")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val bad = d.filter(expr("minhash_sigs(toks)") =!= expr(hofSigs)).count()
+    assert(bad == 0)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = emb.select(expr("vec_dot(embedding, embedding)").as("d"),
         expr("hyper_sigs(embedding, 100, 8, 8)").as("s"))
