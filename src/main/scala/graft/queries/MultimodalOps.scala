@@ -63,6 +63,58 @@ object MultimodalOps {
     }
   }
 
+  /** "Resized" asset: a deterministic downsample of the payload to at most
+    * `maxBytes` bytes by constant stride (stand-in for an image resize —
+    * same batch shape, same opaque-binary column; swapping in a real codec
+    * changes only the per-element function). Output stays a binary column
+    * so resize composes with extractFeatures downstream. */
+  final case class ResizedAsset(asset_id: Long, media_type: String,
+                                orig_len: Long, payload: Array[Byte])
+
+  def resize(assets: Dataset[Asset], maxBytes: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    require(maxBytes > 0)
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val n = a.payload.length
+        val out =
+          if (n <= maxBytes) a.payload
+          else {
+            // ceil-stride keeps the sample ≤ maxBytes and deterministic
+            val stride = (n + maxBytes - 1) / maxBytes
+            Array.tabulate[Byte]((n + stride - 1) / stride)(i =>
+              a.payload(i * stride))
+          }
+        ResizedAsset(a.asset_id, a.media_type, n.toLong, out)
+      }
+    }
+  }
+
+  /** One sampled "frame" row per asset: frame f of n (from decodeStub)
+    * covers the byte slice [f·len/n, (f+1)·len/n); `every` keeps one frame
+    * in `every` (frame-sampling a video/audio stream). Explodes 1→k rows —
+    * the flatMap shape a real frame sampler has; frame payloads stay
+    * binary. */
+  final case class Frame(asset_id: Long, frame_idx: Int, n_frames: Int,
+                         payload: Array[Byte])
+
+  def sampleFrames(assets: Dataset[Asset], every: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    require(every > 0)
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val (_, _, n) = decodeStub(a.payload)
+        val len = a.payload.length
+        (0 until n by every).iterator.map { f =>
+          val from = (f.toLong * len / n).toInt
+          val until = ((f + 1).toLong * len / n).toInt
+          Frame(a.asset_id, f, n,
+            java.util.Arrays.copyOfRange(a.payload, from, until))
+        }
+      }
+    }
+  }
+
   /** Oracle-checkable slice of the plumbing over `documents` (payload =
     * utf-8 bytes of text): byte length + md5 checksum — the parts DuckDB
     * can reproduce; width/height/frames come from the stub and are covered

@@ -39,6 +39,30 @@ object EventStream {
   final case class HostWindow(earliestUpdate: Long)
 
   /**
+   * Streaming URL-seen filter — the continuous twin of the batch engine's
+   * J2 insert-if-absent / U1 seen set (operators/SeenFilter; reference:
+   * the `crawl_uri` unique-key insert, libspider/queues/db.c:1259-1293):
+   * only the FIRST occurrence of each url ever passes; every later arrival
+   * is dropped. State is one boolean per url key, sharded by Spark's state
+   * store exactly like the batch side buckets on url_hash; within a
+   * micro-batch the earliest (ts, url) duplicate wins deterministically.
+   */
+  def seenFilter(requests: Dataset[FetchEvent]): Dataset[FetchEvent] = {
+    import requests.sparkSession.implicits._
+    requests
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, batch: Iterator[FetchEvent], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(batch.minBy(e => (e.ts, e.url)))
+          }
+      }
+  }
+
+  /**
    * Emit at most one request per host per politeness window of
    * `rateSec`; the window advances at emission (the reference writes
    * `earliest_update = now + rate` inside the dequeue txn).

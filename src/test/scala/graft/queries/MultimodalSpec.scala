@@ -35,4 +35,58 @@ class MultimodalSpec extends SparkTestBase {
       assert(f.n_frames >= 1 && f.n_frames <= 30)
     }
   }
+
+  private def assets(n: Int): Seq[Asset] = (0 until n).map { i =>
+    Asset(i.toLong, if (i % 2 == 0) "video/mp4" else "image/png",
+      Array.tabulate[Byte](10 + i * 7)(j => ((i * 131 + j * 17) & 0xff).toByte))
+  }
+
+  test("resize: ≤maxBytes, deterministic stride sample, short payloads " +
+       "pass through, composes with extractFeatures") {
+    import spark.implicits._
+    val in = assets(60)
+    val got = MultimodalOps.resize(in.toDS().repartition(5), 64)
+      .collect().sortBy(_.asset_id)
+    assert(got.length == 60)
+    got.foreach { r =>
+      val a = in(r.asset_id.toInt)
+      assert(r.orig_len == a.payload.length.toLong)
+      assert(r.payload.length <= 64)
+      if (a.payload.length <= 64) assert(r.payload.sameElements(a.payload))
+      else {
+        val stride = (a.payload.length + 63) / 64
+        assert(r.payload.zipWithIndex.forall { case (b, i) =>
+          b == a.payload(i * stride) })
+      }
+    }
+    // binary column survives a round-trip into the feature extractor
+    val feats = MultimodalOps.extractFeatures(
+      MultimodalOps.resize(in.toDS(), 64)
+        .map(r => Asset(r.asset_id, r.media_type, r.payload)))
+      .collect()
+    assert(feats.length == 60)
+  }
+
+  test("sampleFrames: frame slices partition the payload, `every` strides " +
+       "the frame index, deterministic under repartition") {
+    import spark.implicits._
+    val in = assets(40)
+    val all = MultimodalOps.sampleFrames(in.toDS(), 1).collect()
+      .groupBy(_.asset_id)
+    in.foreach { a =>
+      val (_, _, n) = MultimodalOps.decodeStub(a.payload)
+      val frames = all(a.asset_id).sortBy(_.frame_idx)
+      assert(frames.length == n)
+      assert(frames.forall(_.n_frames == n))
+      // slices reassemble the exact payload
+      assert(frames.flatMap(_.payload).sameElements(a.payload))
+    }
+    val every3 = MultimodalOps.sampleFrames(in.toDS().repartition(7), 3)
+      .collect().groupBy(_.asset_id)
+    in.foreach { a =>
+      val (_, _, n) = MultimodalOps.decodeStub(a.payload)
+      val idx = every3(a.asset_id).map(_.frame_idx).sorted.toSeq
+      assert(idx == (0 until n by 3).toSeq)
+    }
+  }
 }

@@ -58,4 +58,31 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows.contains((10 * h, "A", 2L)))
     assert(rows.contains((10 * h, "B", 1L)))
   }
+
+  test("seenFilter: first occurrence only, across batches (streaming twin " +
+       "of J2/U1)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FetchEvent]
+    val q = EventStream.seenFilter(in.toDS())
+      .writeStream.format("memory").queryName("seen")
+      .outputMode("append").start()
+
+    // batch 1: u1 arrives twice in the same micro-batch — earliest ts wins
+    in.addData(
+      FetchEvent("A", "u1", 105), FetchEvent("A", "u1", 101),
+      FetchEvent("B", "u2", 100))
+    q.processAllAvailable()
+    // batch 2: replays of both + one genuinely new url
+    in.addData(
+      FetchEvent("A", "u1", 200), FetchEvent("B", "u2", 201),
+      FetchEvent("C", "u3", 202))
+    q.processAllAvailable()
+
+    val got = spark.table("seen").as[FetchEvent].collect()
+    q.stop()
+    assert(got.map(_.url).sorted.toSeq == Seq("u1", "u2", "u3"))
+    // the in-batch duplicate resolved to the earliest arrival
+    assert(got.find(_.url == "u1").get.ts == 101)
+  }
 }
