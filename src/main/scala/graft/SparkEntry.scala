@@ -54,6 +54,7 @@ object SparkEntry {
     "q14_simhash"       -> (DedupOps.simhash _),
     "q15_incr_dedup"    -> (DedupOps.incrDedupExact _),
     "q16_incr_lsh"      -> (DedupOps.incrLshCandidates _),
+    "q17_incr_verify"   -> (DedupOps.incrJaccardVerify _),
     // text analysis
     "q20_lang_id"       -> (TextOps.langId _),
     "q21_quality"       -> (TextOps.qualityScore _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q14_simhash"       -> DedupOps.simhashSql,
     "q15_incr_dedup"    -> DedupOps.incrDedupExactSql,
     "q16_incr_lsh"      -> DedupOps.incrLshCandidatesSql,
+    "q17_incr_verify"   -> DedupOps.incrJaccardVerifySql,
     "q20_lang_id"       -> TextOps.langIdSql,
     "q21_quality"       -> TextOps.qualityScoreSql,
     "q22_token_stats"   -> TextOps.tokenStatsSql,

@@ -240,6 +240,44 @@ object DedupOps {
        |WHERE c.doc_id < t.t AND n.doc_id >= t.t""".stripMargin
   }
 
+  /** q17: incremental Jaccard verification — the q13 verifier on q16's
+    * batch-vs-corpus candidates, completing the incremental chain
+    * (exact q15 → LSH candidates q16 → verified near-dup pairs q17).
+    * Scale shape: the candidate set (∝ batch) is BROADCAST into the
+    * corpus token scan, so corpus rows stream scan→map→broadcast-join and
+    * are never shuffled; the batch-side token join shuffles ∝ batch +
+    * candidates. Exact integer arithmetic as in q13 (≥0.5 ⇔ 2·|∩| ≥ |∪|). */
+  def incrJaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cand = incrLshCandidates(s, dir)
+    val corpusToks = d.select(col("doc_id").as("corpus_doc"),
+      array_distinct(split(col("text"), " ")).as("toks_c"))
+    val batchToks = d.select(col("doc_id").as("batch_doc"),
+      array_distinct(split(col("text"), " ")).as("toks_b"))
+    corpusToks.join(broadcast(cand), Seq("corpus_doc"))
+      .join(batchToks, Seq("batch_doc"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        size(array_intersect(col("toks_b"), col("toks_c"))).cast("long")
+          .as("inter_cnt"),
+        size(array_union(col("toks_b"), col("toks_c"))).cast("long")
+          .as("union_cnt"))
+      .filter(col("inter_cnt") * 2 >= col("union_cnt"))
+  }
+
+  val incrJaccardVerifySql: String =
+    s"""WITH cand AS (${incrLshCandidatesSql.replace("\n", "\n  ")}),
+       |dd AS (SELECT doc_id,
+       |    list_distinct(string_split(text, ' ')) AS toks FROM documents)
+       |SELECT batch_doc, corpus_doc, inter_cnt, union_cnt FROM (
+       |  SELECT c.batch_doc, c.corpus_doc,
+       |    CAST(len(list_intersect(b.toks, a.toks)) AS BIGINT) AS inter_cnt,
+       |    CAST(len(b.toks) + len(a.toks)
+       |      - len(list_intersect(b.toks, a.toks)) AS BIGINT) AS union_cnt
+       |  FROM cand c
+       |  JOIN dd a ON c.corpus_doc = a.doc_id
+       |  JOIN dd b ON c.batch_doc = b.doc_id)
+       |WHERE inter_cnt * 2 >= union_cnt""".stripMargin
+
   /** 16-bit SimHash over distinct unigrams (token hash = first 16 bits of
     * md5; bit b of the simhash = sign of Σ ±1 over tokens). */
   def simhash(s: SparkSession, dir: String): DataFrame =

@@ -78,6 +78,14 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"$exchanges hash exchanges:\n${p.take(1200)}")
   }
 
+  test("q17 incremental verify: candidates broadcast into the corpus " +
+       "token scan — no CartesianProduct, no source-key join") {
+    val p = planOf(DedupOps.incrJaccardVerify(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("band_hash"), p.take(800))
+  }
+
   test("q35 incremental embedding candidates: corpus side never shuffles " +
        "— batch signatures broadcast, no label column") {
     val p = planOf(AnnOps.incrEmbedCandidates(spark, dir))
