@@ -61,6 +61,7 @@ object SparkEntry {
     "q22_token_stats"   -> (TextOps.tokenStats _),
     "q23_fingerprint"   -> (TextOps.fingerprint _),
     "q24_bpe_tokens"    -> (TextOps.bpeTokens _),
+    "q25_corpus_clean"  -> (TextOps.corpusClean _),
     // similarity search
     "q30_ann_brute"     -> (AnnOps.bruteForceTopK _),
     "q31_ann_ivf"       -> (AnnOps.ivfTopK _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q33_embed_neardup" -> (AnnOps.embedNearDup _),
     "q34_ann_cells"     -> (AnnOps.cells _),
     "q35_incr_embed"    -> (AnnOps.incrEmbedCandidates _),
+    "q36_ann_multiprobe"-> (AnnOps.ivfMultiprobeTopK _),
     // multimodal plumbing
     "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
   )
@@ -94,12 +96,14 @@ object SparkEntry {
     "q22_token_stats"   -> TextOps.tokenStatsSql,
     "q23_fingerprint"   -> TextOps.fingerprintSql,
     "q24_bpe_tokens"    -> TextOps.bpeTokensSql,
+    "q25_corpus_clean"  -> TextOps.corpusCleanSql,
     "q30_ann_brute"     -> AnnOps.bruteForceTopKSql,
     "q31_ann_ivf"       -> AnnOps.ivfTopKSql,
     "q32_embed_norms"   -> AnnOps.normsSql,
     "q33_embed_neardup" -> AnnOps.embedNearDupSql,
     "q34_ann_cells"     -> AnnOps.cellsSql,
     "q35_incr_embed"    -> AnnOps.incrEmbedCandidatesSql,
+    "q36_ann_multiprobe"-> AnnOps.ivfMultiprobeTopKSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
   )
 }

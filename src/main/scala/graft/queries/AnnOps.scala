@@ -181,6 +181,64 @@ object AnnOps {
        |      FROM scored)
        |WHERE rn <= 3""".stripMargin
 
+  /** q36: IVF multiprobe top-3 — the recall dial of IVF search. A single-
+    * probe IVF query misses every neighbor whose vector fell across a
+    * hyperplane (q31's structural recall ceiling; AnnRecallSpec measures
+    * it); multiprobe ALSO searches the CellBits cells at Hamming distance
+    * 1 from the query's cell (the most-likely sign flips), trading a
+    * 1+CellBits× probe cost for recall — still O((1+k)·N/2^k) per query,
+    * never a corpus scan. The probe fan-out explodes only the QUERY side
+    * (tiny); the corpus keeps its single computed cell as the
+    * shuffle/storage partition key, so the join shape is identical to
+    * q31's co-partitioned equi-join. */
+  def ivfMultiprobeTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("cell", expr(cellSpark))
+    val probes = (0 until CellBits)
+      .map(j => s"cell ^ ${1 << j}").mkString("array(cell, ", ", ", ")")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(expr(probes)).as("cell"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("cell"),
+      col("embedding").as("ce")).filter(col("neighbor_id") >= 5)
+    q.join(c, Seq("cell"))
+      .withColumn("cos",
+        expr(dot.format("qe", "ce")) /
+          (sqrt(expr(dot.format("qe", "qe"))) *
+           sqrt(expr(dot.format("ce", "ce")))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos") * 1000000).cast("long").as("cos_e6"))
+  }
+
+  val ivfMultiprobeTopKSql: String = {
+    val probes = (0 until CellBits)
+      .map(j => s"xor(cell, ${1 << j})").mkString("[cell, ", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${cellDuck("embedding")} AS cell FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe,
+       |        unnest($probes) AS cell
+       |      FROM e WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS ce
+       |      FROM e WHERE vec_id >= 5),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${duckDot.format("qe", "ce")} /
+       |      (sqrt(${duckDot.format("qe", "qe")}) *
+       |       sqrt(${duckDot.format("ce", "ce")})) AS cos
+       |  FROM q JOIN c ON q.cell = c.cell)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM (SELECT query_id, neighbor_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= 3""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup family's embedding
     * member), bucketed like q12's MinHash-LSH: a pair is a candidate iff
     * it shares ≥1 of the 8 band signatures (8 hyperplane bits each), then

@@ -148,6 +148,79 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  /** q25: the composed training-corpus cleaning pass — what an actual
+    * 100 TB pipeline runs nightly: exact-dedup survivors (q10's min-id
+    * rule) annotated with language guess (q20) and quality metrics (q21),
+    * plus the final `keep` verdict (identified language + type-token ratio
+    * + length gates). One scan computes every per-row feature (the
+    * stopword hits feed BOTH lang-id and quality — Catalyst's common
+    * subexpression elimination shares them); the only shuffle is the
+    * dedup group-by, keyed on the 32-hex content hash (map-side combine,
+    * uniform key space — no skew). Emits survivors only: downstream
+    * training jobs read this manifest, not the raw corpus. */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(sha2(col("text"), 256), 1, 32).as("text_hash"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text_hash"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        hits("toks", en).as("en_hits"),
+        hits("toks", de).as("de_hits"),
+        hits("toks", es).as("es_hits"))
+    val survivors = d.groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("dup_cnt"))
+    d.join(survivors, Seq("text_hash", "doc_id"))
+      .withColumn("guess",
+        when(col("en_hits") > col("de_hits") &&
+             col("en_hits") > col("es_hits"), "en")
+          .when(col("de_hits") > col("en_hits") &&
+                col("de_hits") > col("es_hits"), "de")
+          .when(col("es_hits") > col("en_hits") &&
+                col("es_hits") > col("de_hits"), "es")
+          .otherwise("und"))
+      .withColumn("ttr_permille", expr("(n_distinct * 1000) div n_tokens"))
+      .withColumn("keep",
+        (col("guess") =!= "und" && col("ttr_permille") >= 200 &&
+          col("n_tokens") >= 8).cast("int"))
+      .select("doc_id", "lang", "source", "text_hash", "dup_cnt",
+        "n_tokens", "ttr_permille", "guess", "keep")
+  }
+
+  val corpusCleanSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    substr(sha256(text), 1, 32) AS text_hash,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and')))
+      |      AS BIGINT) AS en_hits,
+      |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und')))
+      |      AS BIGINT) AS de_hits,
+      |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','y')))
+      |      AS BIGINT) AS es_hits
+      |  FROM (SELECT doc_id, lang, source, text, string_split(text, ' ')
+      |          AS toks FROM documents)),
+      |s AS (SELECT text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+      |      FROM d GROUP BY 1)
+      |SELECT d.doc_id, lang, source, d.text_hash, dup_cnt, n_tokens,
+      |  (n_distinct * 1000) // n_tokens AS ttr_permille,
+      |  CASE
+      |    WHEN en_hits > de_hits AND en_hits > es_hits THEN 'en'
+      |    WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+      |    WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+      |    ELSE 'und' END AS guess,
+      |  CAST(CASE
+      |     WHEN en_hits > de_hits AND en_hits > es_hits THEN 'en'
+      |     WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+      |     WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+      |     ELSE 'und' END <> 'und'
+      |   AND (n_distinct * 1000) // n_tokens >= 200
+      |   AND n_tokens >= 8 AS INTEGER) AS keep
+      |FROM d JOIN s ON d.text_hash = s.text_hash AND d.doc_id = s.doc_id""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over md5-derived token
     * codes, h ← (h·131 + code) mod 1e9+7 — an order-sensitive content
     * fingerprint (unlike the bag-of-words sketches in DedupOps). */

@@ -30,6 +30,18 @@ trait SnapshotIO {
   def writeManifestAtomic(name: String, content: String): Unit
   /** Does a data path (relative to root) exist with content? */
   def exists(relPath: String): Boolean
+  /** Maintenance primitives (expire/compact). Defaults throw: a
+    * read/commit backend need not allow deletion, and the maintenance
+    * jobs are explicit opt-ins (the reference's cache backends likewise
+    * split fetch/store from the destructive rollback ops —
+    * caches/s3.c:314,366). */
+  def deleteManifest(name: String): Unit =
+    throw new UnsupportedOperationException(
+      "deleteManifest: backend does not support maintenance")
+  /** Recursively delete a data dir (relative to root). */
+  def deleteDataDir(relPath: String): Unit =
+    throw new UnsupportedOperationException(
+      "deleteDataDir: backend does not support maintenance")
 }
 
 /** Local-filesystem backend (the reference's caches/disk.c analog):
@@ -59,6 +71,21 @@ final class LocalFsSnapshotIO(rootDir: String) extends SnapshotIO {
 
   override def exists(relPath: String): Boolean =
     Files.exists(rootP.resolve(relPath))
+
+  override def deleteManifest(name: String): Unit =
+    Files.deleteIfExists(snapsDir.resolve(name))
+
+  override def deleteDataDir(relPath: String): Unit = {
+    require(!relPath.split('/').contains(".."), s"unsafe path $relPath")
+    val target = rootP.resolve(relPath).normalize()
+    require(target.startsWith(rootP), s"path escapes root: $relPath")
+    if (Files.exists(target)) {
+      val stream = Files.walk(target)
+      try stream.iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally stream.close()
+    }
+  }
 }
 
 /**
@@ -245,6 +272,100 @@ final class SnapshotStore(val io: SnapshotIO) {
     val snap = Snapshot(version, now, round, seq, cow, appends, metrics)
     writeManifest(snap)
     snap
+  }
+
+  // ---------------------------------------------------------- maintenance
+  //
+  // Offline table-maintenance jobs, the Iceberg expire_snapshots /
+  // rewrite_data_files analogs. Run BETWEEN crawls (a driver mid-crawl
+  // holds its own `prev` snapshot pointer; resume() after maintenance),
+  // exactly like Iceberg maintenance runs beside, not inside, writers.
+  // Without them a long-lived table accretes one version dir per commit:
+  // the trace's append file LIST grows per checkpoint (a resume reads
+  // every dir), and COW bucket pointers scatter across historical version
+  // dirs that can never be reclaimed while one bucket references them.
+
+  /** Version dirs referenced by a snapshot (a COW bucket pointer's parent,
+    * or an append dir). The deletable set is derived purely from
+    * manifests — no data-dir LIST, so the job works on LIST-less object
+    * stores. */
+  private def versionDirs(s: Snapshot): Set[String] =
+    (s.cow.valuesIterator.flatMap(_.valuesIterator)
+      .map(_.replaceFirst("/bucket=\\d+$", "")) ++
+      s.appends.valuesIterator.flatten).toSet
+
+  /**
+   * Iceberg `expire_snapshots` analog: keep the newest `retain` manifests;
+   * delete the older manifests plus every data version-dir referenced ONLY
+   * by expired snapshots. Dir granularity is safe by construction: a
+   * version dir shared with any retained snapshot (a bucket not rewritten
+   * since) survives whole. Expired MANIFESTS go first, data dirs after —
+   * a crash mid-expire leaves orphan data (re-expirable) but never a
+   * listed manifest with dangling pointers. Returns deleted dirs
+   * (root-relative).
+   */
+  def expireSnapshots(retain: Int): Seq[String] = {
+    require(retain >= 1, "retain >= 1")
+    val versions = io.listSnapshotFiles()
+      .collect { case s if s.matches("v\\d{6}\\.json") =>
+        s.substring(1, 7).toInt }.sorted
+    if (versions.size <= retain) return Nil
+    val (expired, retained) = versions.splitAt(versions.size - retain)
+    val keep = retained.map(load).map(versionDirs)
+      .fold(Set.empty[String])(_ ++ _)
+    val drop = expired.map(load).map(versionDirs)
+      .fold(Set.empty[String])(_ ++ _) -- keep
+    expired.foreach(v => io.deleteManifest(manifestName(v)))
+    val rel = drop.toSeq.sorted.map(_.stripPrefix(io.root + "/"))
+    rel.foreach(io.deleteDataDir)
+    rel
+  }
+
+  /**
+   * Iceberg `rewrite_data_files` analog for an APPEND table: consolidate
+   * its accumulated per-checkpoint dirs into ONE dir, published as a new
+   * snapshot version (older snapshots keep seeing the original files
+   * until expireSnapshots). A long crawl checkpoints the trace every
+   * round — without this, resume reads one dir per historical checkpoint.
+   */
+  def compactAppend(spark: SparkSession, table: String): Option[Snapshot] = {
+    val snap = loadLatest().getOrElse(return None)
+    val paths = snap.appends.getOrElse(table, Nil)
+    if (paths.size <= 1) return None
+    val version = snap.version + 1
+    val dir = io.resolve(s"data/$table/" + f"v$version%06d")
+    spark.read.parquet(paths: _*)
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .write.parquet(dir)
+    val out = snap.copy(version = version,
+      appends = snap.appends.updated(table, Seq(dir)))
+    writeManifest(out)
+    Some(out)
+  }
+
+  /**
+   * `rewrite_data_files` for a COW table: rewrite every bucket into one
+   * new version dir so ALL older version dirs become expirable and a
+   * resume reads one consolidated layout instead of pointers scattered
+   * across every historical commit. O(table) — offline, paid rarely (the
+   * disk-side twin of DeltaState.compact's LSM amortization).
+   */
+  def compactCow(spark: SparkSession, table: String): Option[Snapshot] = {
+    val snap = loadLatest().getOrElse(return None)
+    val buckets = snap.cow.getOrElse(table, Map.empty)
+    if (buckets.isEmpty ||
+        buckets.values.map(_.replaceFirst("/bucket=\\d+$", "")).toSet.size <= 1)
+      return None
+    val version = snap.version + 1
+    val dir = io.resolve(s"data/$table/" + f"v$version%06d")
+    buckets.toSeq.sortBy(_._1).map { case (b, p) =>
+      spark.read.parquet(p).withColumn("bucket", lit(b))
+    }.reduce(_ unionByName _)
+      .write.partitionBy("bucket").parquet(dir)
+    val np = buckets.keys.map(b => b -> s"$dir/bucket=$b").toMap
+    val out = snap.copy(version = version, cow = snap.cow.updated(table, np))
+    writeManifest(out)
+    Some(out)
   }
 
   // ---------------------------------------------------------------- reads

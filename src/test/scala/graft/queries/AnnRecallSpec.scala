@@ -62,6 +62,25 @@ class AnnRecallSpec extends SparkTestBase {
     }
   }
 
+  test("multiprobe dominates single-probe: probing Hamming-1 cells never " +
+       "loses a neighbor and lifts recall toward brute-force") {
+    val brute = AnnOps.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = AnnOps.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = AnnOps.ivfMultiprobeTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = (brute intersect single).size.toDouble / brute.size
+    val rm = (brute intersect multi).size.toDouble / brute.size
+    assert(rm >= rs, s"multiprobe recall $rm below single-probe $rs")
+    assert(rm >= 0.8, s"multiprobe recall $rm (found ${multi.size})")
+    // probing neighbor cells must not admit junk: every returned pair is
+    // still a genuine high-cosine neighbor
+    multi.foreach { case (q, n) =>
+      assert(cosine(vecs(q), vecs(n)) > 0.5, s"probe pair ($q,$n) not close")
+    }
+  }
+
   test("banded hyperplane near-dup recovers ≥80% of genuine near-duplicate " +
        "pairs (the cos≥0.95 regime the bands are tuned for)") {
     val ids = vecs.keys.toSeq.sorted
