@@ -96,6 +96,26 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"$exchanges hash exchanges:\n${p.take(1200)}")
   }
 
+  test("q36 multiprobe: probe fan-out stays on the query side — cell " +
+       "equi-join, no label column, no CartesianProduct") {
+    val p = planOf(AnnOps.ivfMultiprobeTopK(spark, dir))
+    assert(!p.contains("label"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("cell"), p.take(600))
+    // the corpus side carries ONE cell per row; only the query side
+    // explodes (generator over the 1+CellBits probe array)
+    assert("Generate explode".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q25 corpus-clean: single-scan feature computation with map-side " +
+       "combine on the dedup group-by; no CartesianProduct") {
+    val p = planOf(TextOps.corpusClean(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_"), p.take(800))
+    // untouched document columns must not be read
+    assert(!p.contains("n_chars"), p.take(800))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
