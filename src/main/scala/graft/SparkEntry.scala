@@ -62,6 +62,7 @@ object SparkEntry {
     "q23_fingerprint"   -> (TextOps.fingerprint _),
     "q24_bpe_tokens"    -> (TextOps.bpeTokens _),
     "q25_corpus_clean"  -> (TextOps.corpusClean _),
+    "q26_repetition"    -> (TextOps.repetition _),
     // similarity search
     "q30_ann_brute"     -> (AnnOps.bruteForceTopK _),
     "q31_ann_ivf"       -> (AnnOps.ivfTopK _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q34_ann_cells"     -> (AnnOps.cells _),
     "q35_incr_embed"    -> (AnnOps.incrEmbedCandidates _),
     "q36_ann_multiprobe"-> (AnnOps.ivfMultiprobeTopK _),
+    "q37_kmeans_cells"  -> (AnnOps.kmeansCells _),
     // multimodal plumbing
     "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
   )
@@ -97,6 +99,7 @@ object SparkEntry {
     "q23_fingerprint"   -> TextOps.fingerprintSql,
     "q24_bpe_tokens"    -> TextOps.bpeTokensSql,
     "q25_corpus_clean"  -> TextOps.corpusCleanSql,
+    "q26_repetition"    -> TextOps.repetitionSql,
     "q30_ann_brute"     -> AnnOps.bruteForceTopKSql,
     "q31_ann_ivf"       -> AnnOps.ivfTopKSql,
     "q32_embed_norms"   -> AnnOps.normsSql,
@@ -104,6 +107,7 @@ object SparkEntry {
     "q34_ann_cells"     -> AnnOps.cellsSql,
     "q35_incr_embed"    -> AnnOps.incrEmbedCandidatesSql,
     "q36_ann_multiprobe"-> AnnOps.ivfMultiprobeTopKSql,
+    "q37_kmeans_cells"  -> AnnOps.kmeansCellsSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
   )
 }

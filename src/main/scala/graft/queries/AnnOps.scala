@@ -330,6 +330,118 @@ object AnnOps {
        |WHERE c.vec_id < t.t AND n.vec_id >= t.t""".stripMargin
   }
 
+  // ---------------------------------------------------- k-means IVF build
+  // q37: the OTHER coarse quantizer — a seeded, deterministic Lloyd's
+  // k-means over the embeddings (the index build real IVF systems run,
+  // complementing the hyperplane cells of q31/q34 which need no training
+  // pass). All arithmetic is exact-integer so the DuckDB oracle matches
+  // bit-for-bit: vectors are quantized to µ-units with floor (round()'s
+  // half-up/half-even tie rules differ between engines; floor of an exact
+  // float→double product is unambiguous), distances are exact bigint
+  // squared-L2 sums (order-independent), and centroid means use the
+  // positive-mod floor division spelled identically in both engines.
+  //
+  // Scale shape per Lloyd iteration: centroids are O(K·dims) — broadcast
+  // to every executor (never a corpus shuffle); the argmin reduces the
+  // K-way fan-out map-side (partial min(struct) before the vec_id
+  // exchange); the centroid update is ONE groupBy(cell) carrying 64
+  // fixed-width partial sums + a count. A 10^10-vector corpus pays K
+  // passes of narrow per-row math plus two small shuffles per iteration —
+  // the same plan MLlib's KMeans lowers to, expressed declaratively. (At
+  // production scale each iteration's assignment would be persisted;
+  // at oracle scale the re-derivation keeps the query a pure DAG.)
+
+  /** Centroid count (8 — the fixture corpus has 10 latent clusters, so
+    * convergence is visible but not trivially saturated) and Lloyd
+    * iteration count. */
+  private[queries] val KmK = 8
+  private[queries] val KmIters = 2
+  private val Dims = 64
+
+  private[queries] val quantSpark =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000000D) as bigint))"
+  private val quantDuck =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+  /** Assign every vector to its nearest centroid (exact squared-L2 in
+    * µ²-units; ties break to the lowest cell id in both engines). The
+    * (dist, cell) argmin is packed into ONE bigint (dist·256 + cell —
+    * lexicographic order preserved since 0 ≤ cell < 256 and dist ≥ 0, and
+    * dist < 2^48 µ² keeps the product far from overflow): `min` over a
+    * bigint keeps the aggregate a codegen'd partial-combining
+    * HashAggregate, where a `min(struct(dist, cell))` spelling has a
+    * struct buffer and lowers to per-partition SortAggregate. `qv` rides
+    * as a grouping key (functionally dependent on vec_id — same
+    * cardinality, and carrying it as `first(qv)` would reintroduce a
+    * non-mutable agg buffer). */
+  private[queries] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("packed", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, x) -> acc + x) * 256 + cell"))
+      .groupBy("vec_id", "qv")
+      .agg(min(col("packed")).as("p"))
+      .select(col("vec_id"), col("qv"),
+        expr("cast(p % 256 as int)").as("cell"),
+        expr("p div 256").as("dist"))
+
+  /** Recompute centroids as the per-cell floor-mean of each dimension —
+    * one groupBy(cell) with 64 partial sums + a count; cells that lost
+    * every member drop out (identically in the oracle). */
+  private[queries] def kmUpdate(assigned: DataFrame): DataFrame = {
+    val sums = (1 to Dims).map(i =>
+      sum(expr(s"element_at(qv, $i)")).as(s"s$i"))
+    val agged = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val means = (1 to Dims).map(i =>
+      expr(s"(s$i - ((s$i % n + n) % n)) div n"))
+    agged.select(col("cell"), array(means: _*).as("cv"))
+  }
+
+  /** q37: cell assignment (+ exact squared distance) after `KmIters`
+    * Lloyd iterations from the deterministic seed (vectors 0..K-1). */
+  def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), expr(quantSpark).as("qv"))
+    var cents = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cell"), col("qv").as("cv"))
+    for (_ <- 1 to KmIters)
+      cents = kmUpdate(kmAssign(e, cents))
+    kmAssign(e, cents).select(col("vec_id"), col("cell"), col("dist"))
+  }
+
+  val kmeansCellsSql: String = {
+    def assign(eT: String, cT: String, out: String) =
+      s"""${out}d AS (
+         |  SELECT e.vec_id, e.qv, c.cell,
+         |    CAST(list_sum(list_transform(generate_series(1, $Dims),
+         |      i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])))
+         |      AS BIGINT) AS dist
+         |  FROM $eT e CROSS JOIN $cT c),
+         |$out AS (
+         |  SELECT vec_id, qv, cell, dist FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cell) AS rn FROM ${out}d)
+         |  WHERE rn = 1)"""
+    def update(aT: String, out: String) = {
+      val sums = (1 to Dims).map(i =>
+        s"CAST(SUM(qv[$i]) AS BIGINT) AS s$i").mkString(", ")
+      val means = (1 to Dims).map(i =>
+        s"(s$i - ((s$i % n + n) % n)) // n").mkString(", ")
+      s"""${out}s AS (
+         |  SELECT cell, COUNT(*) AS n, $sums FROM $aT GROUP BY cell),
+         |$out AS (SELECT cell, [$means] AS cv FROM ${out}s)"""
+    }
+    s"""WITH eq AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qv AS cv
+       |       FROM eq WHERE vec_id < $KmK),
+       |${assign("eq", "c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("eq", "c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("eq", "c2", "a3")}
+       |SELECT vec_id, cell, dist FROM a3""".stripMargin
+  }
+
   /** Per-vector L2 norm in integer micro-units. */
   def norms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)

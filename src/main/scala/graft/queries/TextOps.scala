@@ -221,6 +221,43 @@ object TextOps {
       |   AND n_tokens >= 8 AS INTEGER) AS keep
       |FROM d JOIN s ON d.text_hash = s.text_hash AND d.doc_id = s.doc_id""".stripMargin
 
+  /** q26: the repetition filter (the Gopher/MassiveText "fraction of
+    * duplicate n-grams" rule — boilerplate and spam score high, prose
+    * scores low): per document, the fraction of word 3-grams that are
+    * repeats of an earlier 3-gram in the same document, exact integer
+    * permille. Pure per-row array math — grams are built and deduped
+    * inside one projection, so the operator is a linear scan with no
+    * shuffle and no cross-document state; at 100 TB it rides the same
+    * single-pass manifest scan as q20/q21 (and q25 can absorb it as
+    * another shared-scan feature). Documents under 3 tokens have no
+    * 3-gram and are filtered identically in both engines. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        expr("""transform(sequence(1, size(toks) - 2),
+                  i -> concat_ws(' ', element_at(toks, i),
+                    element_at(toks, i + 1), element_at(toks, i + 2)))""")
+          .as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("gram_cnt"),
+        expr("""cast(1000 - (cast(size(array_distinct(grams)) as bigint)
+                  * 1000) div size(grams) as bigint)""").as("dup_permille"))
+
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |          AS grams
+      |      FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id, CAST(len(grams) AS BIGINT) AS gram_cnt,
+      |  CAST(1000 - (CAST(len(list_distinct(grams)) AS BIGINT) * 1000)
+      |    // len(grams) AS BIGINT) AS dup_permille
+      |FROM g""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over md5-derived token
     * codes, h ← (h·131 + code) mod 1e9+7 — an order-sensitive content
     * fingerprint (unlike the bag-of-words sketches in DedupOps). */

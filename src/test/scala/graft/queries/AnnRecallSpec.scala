@@ -98,4 +98,35 @@ class AnnRecallSpec extends SparkTestBase {
     found.foreach { case (a, b) =>
       assert(cosine(vecs(a), vecs(b)) >= 0.4 - 1e-9) }
   }
+
+  test("q37 k-means: Lloyd iterations never increase total distortion and " +
+       "the seeded clusters map whole-cluster to one cell") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr(AnnOps.quantSpark).as("qv"))
+    var cents = e.filter(col("vec_id") < AnnOps.KmK)
+      .select(col("vec_id").cast("int").as("cell"), col("qv").as("cv"))
+    var distortion = Vector.empty[Long]
+    for (_ <- 1 to AnnOps.KmIters) {
+      val a = AnnOps.kmAssign(e, cents)
+      distortion :+= a.agg(sum("dist")).head.getLong(0)
+      cents = AnnOps.kmUpdate(a)
+    }
+    val fin = AnnOps.kmAssign(e, cents)
+    distortion :+= fin.agg(sum("dist")).head.getLong(0)
+    // Lloyd monotonicity (floor-quantized means cost at most rounding µ²)
+    assert(distortion.sliding(2).forall(w => w(1) <= w(0)), distortion)
+    assert(distortion.last < distortion.head * 6 / 10,
+      s"no real convergence: $distortion")
+    // fixture: cluster = vec_id % 10; seeds 0..7 sit in clusters 0..7.
+    // Each SEEDED cluster must end up (near-)whole in a single cell —
+    // clusters 8/9 may legitimately straddle whichever far centroids tie.
+    val cells = fin.select($"vec_id", $"cell").as[(Long, Int)].collect()
+    cells.groupBy(_._1 % 10).filter(_._1 < 8).foreach { case (lbl, m) =>
+      val dominant = m.groupBy(_._2).values.map(_.size).max
+      assert(dominant.toDouble / m.size >= 0.9,
+        s"cluster $lbl split across cells: ${m.groupBy(_._2).view.mapValues(_.size).toMap}")
+    }
+  }
 }

@@ -116,6 +116,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("n_chars"), p.take(800))
   }
 
+  test("q26 repetition: pure per-row scan — no exchange anywhere, scan " +
+       "pruned to doc_id+text") {
+    val p = planOf(TextOps.repetition(spark, dir))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("doc_id") && p.contains("text"), p.take(400))
+    assert(!p.contains("n_chars") && !p.contains("source"), p.take(800))
+  }
+
+  test("q37 k-means: centroids broadcast (never a corpus shuffle for the " +
+       "assignment), argmin is a partial-combining min — no SortAggregate, " +
+       "no CartesianProduct") {
+    val p = planOf(AnnOps.kmeansCells(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_min"), p.take(1200))
+    assert(!p.contains("SortAggregate"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
