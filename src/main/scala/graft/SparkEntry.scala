@@ -72,6 +72,7 @@ object SparkEntry {
     "q35_incr_embed"    -> (AnnOps.incrEmbedCandidates _),
     "q36_ann_multiprobe"-> (AnnOps.ivfMultiprobeTopK _),
     "q37_kmeans_cells"  -> (AnnOps.kmeansCells _),
+    "q38_kmeans_topk"   -> (AnnOps.kmeansTopK _),
     // multimodal plumbing
     "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
   )
@@ -108,6 +109,7 @@ object SparkEntry {
     "q35_incr_embed"    -> AnnOps.incrEmbedCandidatesSql,
     "q36_ann_multiprobe"-> AnnOps.ivfMultiprobeTopKSql,
     "q37_kmeans_cells"  -> AnnOps.kmeansCellsSql,
+    "q38_kmeans_topk"   -> AnnOps.kmeansTopKSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
   )
 }

@@ -409,7 +409,9 @@ object AnnOps {
     kmAssign(e, cents).select(col("vec_id"), col("cell"), col("dist"))
   }
 
-  val kmeansCellsSql: String = {
+  /** The CTE chain replaying `KmIters` Lloyd iterations; `a3` holds the
+    * final (vec_id, qv, cell, dist) assignment. */
+  private val kmeansCte: String = {
     def assign(eT: String, cT: String, out: String) =
       s"""${out}d AS (
          |  SELECT e.vec_id, e.qv, c.cell,
@@ -431,16 +433,70 @@ object AnnOps {
          |  SELECT cell, COUNT(*) AS n, $sums FROM $aT GROUP BY cell),
          |$out AS (SELECT cell, [$means] AS cv FROM ${out}s)"""
     }
-    s"""WITH eq AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+    s"""eq AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qv AS cv
        |       FROM eq WHERE vec_id < $KmK),
        |${assign("eq", "c0", "a1")},
        |${update("a1", "c1")},
        |${assign("eq", "c1", "a2")},
        |${update("a2", "c2")},
-       |${assign("eq", "c2", "a3")}
-       |SELECT vec_id, cell, dist FROM a3""".stripMargin
+       |${assign("eq", "c2", "a3")}""".stripMargin
   }
+
+  val kmeansCellsSql: String =
+    s"""WITH $kmeansCte
+       |SELECT vec_id, cell, dist FROM a3""".stripMargin
+
+  /** q38: IVF top-3 search over the TRAINED quantizer — q31's search shape
+    * (each query probes only its own cell, co-partitioned equi-join on
+    * `cell`) with q37's k-means cells instead of hyperplane signatures.
+    * In production the build (q37) runs once and the assignment is stored
+    * WITH the vector as the partition key; here the join back to the float
+    * embeddings by vec_id stands in for that stored column. Trained cells
+    * track the corpus's actual density (AnnRecallSpec: recall ≥ the
+    * untrained hyperplane cells' on the clustered fixture). */
+  def kmeansTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .join(kmeansCells(s, dir).select("vec_id", "cell"), Seq("vec_id"))
+    val q = e.select(col("vec_id").as("query_id"), col("cell"),
+      col("embedding").as("qe")).filter(col("query_id") < 5)
+    val c = e.select(col("vec_id").as("neighbor_id"), col("cell"),
+      col("embedding").as("ce")).filter(col("neighbor_id") >= 5)
+    q.join(c, Seq("cell"))
+      .withColumn("cos",
+        expr(dot.format("qe", "ce")) /
+          (sqrt(expr(dot.format("qe", "qe"))) *
+           sqrt(expr(dot.format("ce", "ce")))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        round(col("cos") * 1000000).cast("long").as("cos_e6"))
+  }
+
+  val kmeansTopKSql: String =
+    s"""WITH $kmeansCte,
+       |e2 AS (SELECT em.vec_id, em.embedding, a3.cell
+       |       FROM embeddings em JOIN a3 ON em.vec_id = a3.vec_id),
+       |q AS (SELECT vec_id AS query_id, cell, embedding AS qe
+       |      FROM e2 WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS ce
+       |      FROM e2 WHERE vec_id >= 5),
+       |scored AS (
+       |  SELECT query_id, q.cell AS cell, neighbor_id,
+       |    ${duckDot.format("qe", "ce")} /
+       |      (sqrt(${duckDot.format("qe", "qe")}) *
+       |       sqrt(${duckDot.format("ce", "ce")})) AS cos
+       |  FROM q JOIN c ON q.cell = c.cell)
+       |SELECT query_id, cell, neighbor_id,
+       |  CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM (SELECT query_id, cell, neighbor_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= 3""".stripMargin
 
   /** Per-vector L2 norm in integer micro-units. */
   def norms(s: SparkSession, dir: String): DataFrame =

@@ -99,6 +99,23 @@ class AnnRecallSpec extends SparkTestBase {
       assert(cosine(vecs(a), vecs(b)) >= 0.4 - 1e-9) }
   }
 
+  test("q38 trained-quantizer search: k-means cells recall at least as " +
+       "much as the untrained hyperplane cells, and every hit is genuine") {
+    val brute = AnnOps.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hyper = AnnOps.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val km = AnnOps.kmeansTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rh = (brute intersect hyper).size.toDouble / brute.size
+    val rk = (brute intersect km).size.toDouble / brute.size
+    assert(rk >= rh, s"k-means recall $rk below hyperplane $rh")
+    assert(rk >= 0.8, s"k-means recall $rk (found ${km.size})")
+    km.foreach { case (q, n) =>
+      assert(cosine(vecs(q), vecs(n)) > 0.5, s"kmeans pair ($q,$n) not close")
+    }
+  }
+
   test("q37 k-means: Lloyd iterations never increase total distortion and " +
        "the seeded clusters map whole-cluster to one cell") {
     import org.apache.spark.sql.functions._
