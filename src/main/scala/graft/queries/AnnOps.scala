@@ -399,13 +399,21 @@ object AnnOps {
   }
 
   /** q37: cell assignment (+ exact squared distance) after `KmIters`
-    * Lloyd iterations from the deterministic seed (vectors 0..K-1). */
+    * Lloyd iterations from the deterministic seed (vectors 0..K-1).
+    * Each iteration's centroids — O(K·dims) longs, bounded tiny — are
+    * materialized to the driver (the MLlib KMeans pattern): left lazy,
+    * iteration i's plan recomputes every earlier iteration on each of its
+    * K-way probes, and the final assignment pays the whole chain again.
+    * The collected values are exact integers, so the materialization is
+    * invisible to the oracle. */
   def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), expr(quantSpark).as("qv"))
     var cents = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").cast("int").as("cell"), col("qv").as("cv"))
     for (_ <- 1 to KmIters)
       cents = kmUpdate(kmAssign(e, cents))
+        .as[(Int, Array[Long])].collect().toSeq.toDF("cell", "cv")
     kmAssign(e, cents).select(col("vec_id"), col("cell"), col("dist"))
   }
 
