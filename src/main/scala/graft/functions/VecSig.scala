@@ -107,6 +107,35 @@ object VecNative {
     new GenericArrayData(out)
   }
 
+  /** Floor-µ-quantization of a float vector → bigint vector (q37's exact
+    * integer domain): float→double widening is exact, the ·1e6 product
+    * rounds once in double, floor truncates unambiguously (round()'s
+    * half-up/half-even tie rules differ between engines; floor doesn't). */
+  def quant(e: ArrayData): ArrayData = {
+    val n = e.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(e.getFloat(i).toDouble * 1000000.0).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact squared-L2 distance between two bigint vectors (integer sums
+    * are order-independent — parity with any fold order). */
+  def sqL2(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   private val hexChars = "0123456789abcdef".toCharArray
   private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
@@ -249,6 +278,48 @@ case class MinhashBandHashes(child: Expression, full: Boolean)
       newChild: Expression): MinhashBandHashes = copy(child = newChild)
 }
 
+/** `vec_quant(e)` — codegen'd floor-µ-quantization (array<float> →
+  * array<bigint>). */
+case class VecQuant(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_quant"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_quant expects array<float>, got $t")
+  }
+  override protected def nullSafeEval(e: Any): Any =
+    VecNative.quant(e.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecNative.quant($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): VecQuant = copy(child = newChild)
+}
+
+/** `sq_l2(a, b)` — codegen'd exact squared-L2 over bigint vectors. */
+case class SqL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq_l2"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sq_l2 expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecNative.sqL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecNative.sqL2($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /**
  * Per-session registration of the native expressions so query code can
  * invoke them through the public `expr("vec_dot(a, b)")` surface on ANY
@@ -275,5 +346,9 @@ object GraftFunctions {
       es => MinhashBandHashes(es(0), full = false), "built-in")
     reg.createOrReplaceTempFunction("minhash_sigs",
       es => MinhashBandHashes(es(0), full = true), "built-in")
+    reg.createOrReplaceTempFunction("vec_quant",
+      es => VecQuant(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("sq_l2",
+      es => SqL2(es(0), es(1)), "built-in")
   }
 }

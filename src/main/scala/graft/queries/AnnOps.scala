@@ -358,8 +358,10 @@ object AnnOps {
   private[queries] val KmIters = 2
   private val Dims = 64
 
-  private[queries] val quantSpark =
-    "transform(embedding, x -> cast(floor(cast(x as double) * 1000000D) as bigint))"
+  /** Native codegen'd spelling (functions/VecSig.scala); parity with the
+    * `transform(embedding, x -> cast(floor(cast(x as double) * 1000000D)
+    * as bigint))` HOF spelling pinned by VecSigSpec. */
+  private[queries] val quantSpark = "vec_quant(embedding)"
   private val quantDuck =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
@@ -376,9 +378,7 @@ object AnnOps {
     * non-mutable agg buffer). */
   private[queries] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
-      .withColumn("packed", expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (acc, x) -> acc + x) * 256 + cell"))
+      .withColumn("packed", expr("sq_l2(qv, cv) * 256 + cell"))
       .groupBy("vec_id", "qv")
       .agg(min(col("packed")).as("p"))
       .select(col("vec_id"), col("qv"),

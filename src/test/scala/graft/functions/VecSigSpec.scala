@@ -102,9 +102,30 @@ class VecSigSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("vec_quant ≡ interpreted floor-µ transform and sq_l2 ≡ interpreted " +
+       "squared-diff fold, bitwise, all rows") {
+    val hofQuant = "transform(embedding, x -> " +
+      "cast(floor(cast(x as double) * 1000000D) as bigint))"
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val qBad = e.filter(
+      expr("vec_quant(embedding)") =!= expr(hofQuant)).count()
+    assert(qBad == 0)
+    val shifted = e.select((col("vec_id") - 1).as("vec_id"),
+      expr("vec_quant(embedding)").as("qb"))
+    val pairs = e.select(col("vec_id"),
+        expr("vec_quant(embedding)").as("qa"))
+      .join(shifted, Seq("vec_id"))
+    val hofL2 = "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y))" +
+      ", 0L, (acc, v) -> acc + v)"
+    val dBad = pairs.filter(expr("sq_l2(qa, qb)") =!= expr(hofL2)).count()
+    assert(dBad == 0)
+    assert(pairs.count() > 400)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = emb.select(expr("vec_dot(embedding, embedding)").as("d"),
-        expr("hyper_sigs(embedding, 100, 8, 8)").as("s"))
+        expr("hyper_sigs(embedding, 100, 8, 8)").as("s"),
+        expr("sq_l2(vec_quant(embedding), vec_quant(embedding))").as("q"))
       .queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), p.take(400))
   }

@@ -120,6 +120,7 @@ class AnnRecallSpec extends SparkTestBase {
        "the seeded clusters map whole-cluster to one cell") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), expr(AnnOps.quantSpark).as("qv"))
     var cents = e.filter(col("vec_id") < AnnOps.KmK)
