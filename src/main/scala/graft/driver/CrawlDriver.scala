@@ -63,6 +63,14 @@ final class CrawlDriver(
   private var snapshot: Option[SnapshotStore.Snapshot] = None
   private val bloom = new SeenFilter.SeenBloom()
 
+  /** Robots gate input, derived from `web` ONCE and persisted — robots
+    * bodies change on day scales, not round scales, so re-scanning the
+    * web/pages table every round is pure waste (r2 verdict plan-audit
+    * note). Lazy: never touched while the gate is off (the default). */
+  private lazy val robotsCache: Option[Dataset[CrawlRound.RobotsRow]] =
+    if (!cfg.robotsEnabled) None
+    else Some(CrawlRound.robotsFromWeb(spark, web).persist())
+
   // trace: keyed parts + per-round seq offsets; TraceRow.seq is derived
   // lazily (rank by the A1 composite key within round + round offset) so
   // the hot path never sorts
@@ -222,7 +230,7 @@ final class CrawlDriver(
 
       val (res, roundSec) = timed("roundBuild+fetch") {
         CrawlRound.run(spark, frontier, hosts, fetchLog, fState.keys,
-          web, cfg, now, roundNo, seq, bloom)
+          web, cfg, now, roundNo, seq, bloom, robotsCache)
       }
       if (verbose)
         println(f"[round-timing]   planBuild: ${roundSec - res.fetchPhaseSec}%.2fs")

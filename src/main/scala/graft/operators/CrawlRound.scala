@@ -146,6 +146,18 @@ object CrawlRound {
       }
   }
 
+  /** One row per host that serves a 200 robots.txt (the F-gate input). */
+  def robotsFromWeb(spark: SparkSession,
+                    web: Dataset[WebRow]): Dataset[RobotsRow] = {
+    import spark.implicits._
+    web.filter(_.url.endsWith("/robots.txt"))
+      .flatMap { w =>
+        val e = Step.WebEntry(w.warc_ts, w.body, w.headers_raw)
+        if (e.status == 200) Iterator.single(RobotsRow(w.url, w.body))
+        else Iterator.empty
+      }
+  }
+
   /**
    * Execute one round: runs ONE job (materializing the persisted step
    * output, whose count is the picks count) and returns the delta plans.
@@ -161,7 +173,8 @@ object CrawlRound {
       now: Long,
       round: Long,
       seqStart: Long,
-      bloom: SeenFilter.SeenBloom): RoundResult = {
+      bloom: SeenFilter.SeenBloom,
+      robotsCache: Option[Dataset[RobotsRow]] = None): RoundResult = {
     import spark.implicits._
 
     val bcCfg = spark.sparkContext.broadcast(cfg)
@@ -224,15 +237,14 @@ object CrawlRound {
       .joinWith(fetchLog, $"_1.pick.f.url_hash" === fetchLog("url_hash"),
         "left_outer")
     // robots side: one row per host that HAS a robots.txt — small, AQE
-    // broadcasts it; empty (zero-cost join) when the gate is off
+    // broadcasts it; empty (zero-cost join) when the gate is off. The
+    // driver passes a persisted cache so the derivation doesn't re-scan
+    // `web` every round (robots.txt bodies change on day scales, not
+    // round scales — in production this cache is the robots slice of the
+    // pages table, refreshed by its own TTL).
     val robotsDs: Dataset[RobotsRow] =
       if (!robotsOn) spark.emptyDataset[RobotsRow]
-      else web.filter(_.url.endsWith("/robots.txt"))
-        .flatMap { w =>
-          val e = Step.WebEntry(w.warc_ts, w.body, w.headers_raw)
-          if (e.status == 200) Iterator.single(RobotsRow(w.url, w.body))
-          else Iterator.empty
-        }
+      else robotsCache.getOrElse(robotsFromWeb(spark, web))
     val withRobots: Dataset[(((Sched, WebRow), CacheRow), RobotsRow)] =
       withCache.joinWith(robotsDs,
         $"_1._1.robots_url" === robotsDs("url"), "left_outer")
