@@ -134,6 +134,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortAggregate"), p.take(1200))
   }
 
+  test("q38 trained-cell search: cell equi-join like q31 — no label, " +
+       "no CartesianProduct") {
+    val p = planOf(AnnOps.kmeansTopK(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("label"), p.take(800))
+    assert(p.contains("cell"), p.take(400))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
