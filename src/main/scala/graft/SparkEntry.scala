@@ -55,6 +55,7 @@ object SparkEntry {
     "q15_incr_dedup"    -> (DedupOps.incrDedupExact _),
     "q16_incr_lsh"      -> (DedupOps.incrLshCandidates _),
     "q17_incr_verify"   -> (DedupOps.incrJaccardVerify _),
+    "q18_components"    -> (DedupOps.neardupComponents _),
     // text analysis
     "q20_lang_id"       -> (TextOps.langId _),
     "q21_quality"       -> (TextOps.qualityScore _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q15_incr_dedup"    -> DedupOps.incrDedupExactSql,
     "q16_incr_lsh"      -> DedupOps.incrLshCandidatesSql,
     "q17_incr_verify"   -> DedupOps.incrJaccardVerifySql,
+    "q18_components"    -> DedupOps.neardupComponentsSql,
     "q20_lang_id"       -> TextOps.langIdSql,
     "q21_quality"       -> TextOps.qualityScoreSql,
     "q22_token_stats"   -> TextOps.tokenStatsSql,

@@ -278,6 +278,93 @@ object DedupOps {
        |  JOIN dd b ON c.batch_doc = b.doc_id)
        |WHERE inter_cnt * 2 >= union_cnt""".stripMargin
 
+  // ------------------------------------- near-dup component clustering
+  // q18: the stage that turns q13's pairwise evidence into the decision a
+  // training pipeline acts on. Verified near-dup pairs are edges of a
+  // graph; transitively-linked documents form ONE duplicate group (a and
+  // c are duplicates when both resemble b, even if a,c never shared a
+  // band), and the group keeps its minimum doc_id — the same survivor
+  // rule as q10's exact dedup — dropping the rest.
+
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation to a fixpoint: label(v) starts at v; each
+    * round replaces it with the min over v's own and all neighbors'
+    * labels, so it converges to the component minimum in
+    * eccentricity-of-the-min-node rounds. Output: one row per
+    * participating doc — (doc_id, rep_id, keep), keep = 1 iff the doc is
+    * its component's survivor.
+    *
+    * Scale shape: edges ∝ verified near-dup pairs and labels ∝
+    * participating docs — both a small fraction of a 10^10-doc corpus
+    * (the corpus itself is never touched). Each round is ONE hash
+    * exchange keyed on doc_id plus a map-side-combining min aggregate;
+    * the edge list is persisted once and reused. Near-dup components in
+    * web corpora are shallow template families (stars around a hub), so
+    * the fixpoint typically lands in 2-3 rounds; an adversarially long
+    * chain costs O(diameter) rounds — the published pointer-doubling
+    * variants (large-star/small-star, Kiveris et al. "Connected
+    * Components in MapReduce", SOCC'14) cut that to O(log d) with the
+    * same per-round shape and are the drop-in upgrade if diameters ever
+    * matter. Every label is materialized per round (localCheckpoint), so
+    * the plan never nests across iterations (the Lloyd-chain lesson of
+    * q37). */
+  private[queries] def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = labels
+        .join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("label"))
+        .union(labels.select(col("doc_id"), col("label")))
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("rep_id"),
+      when(col("label") === col("doc_id"), 1).otherwise(0)
+        .cast("int").as("keep"))
+  }
+
+  /** q18: duplicate groups + survivor selection over q13's verified
+    * near-dup pairs (exact → candidates → verify → CLUSTER completes the
+    * text-dedup chain). */
+  def neardupComponents(s: SparkSession, dir: String): DataFrame =
+    components(jaccardPairs(s, dir).select("doc_a", "doc_b"))
+
+  /** Transitive-closure oracle (components are tiny at fixture scale):
+    * rep = min over everything reachable, self included via any
+    * round-trip — symmetric edges make every participating node reach
+    * itself. */
+  val neardupComponentsSql: String =
+    s"""WITH RECURSIVE jp AS (
+       |  ${jaccardPairsSql.replace("\n", "\n  ")}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM jp
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS t FROM jp
+       |),
+       |reach AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s AS s, e.t AS t FROM reach r JOIN edges e ON r.t = e.s
+       |)
+       |SELECT s AS doc_id,
+       |  LEAST(s, MIN(t)) AS rep_id,
+       |  CAST(CASE WHEN LEAST(s, MIN(t)) = s THEN 1 ELSE 0 END
+       |    AS INTEGER) AS keep
+       |FROM reach GROUP BY s""".stripMargin
+
   /** 16-bit SimHash over distinct unigrams (token hash = first 16 bits of
     * md5; bit b of the simhash = sign of Σ ±1 over tokens). */
   def simhash(s: SparkSession, dir: String): DataFrame =
