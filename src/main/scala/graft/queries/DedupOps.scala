@@ -296,17 +296,18 @@ object DedupOps {
     *
     * Scale shape: edges ∝ verified near-dup pairs and labels ∝
     * participating docs — both a small fraction of a 10^10-doc corpus
-    * (the corpus itself is never touched). Each round is ONE hash
-    * exchange keyed on doc_id plus a map-side-combining min aggregate;
-    * the edge list is persisted once and reused. Near-dup components in
-    * web corpora are shallow template families (stars around a hub), so
-    * the fixpoint typically lands in 2-3 rounds; an adversarially long
-    * chain costs O(diameter) rounds — the published pointer-doubling
-    * variants (large-star/small-star, Kiveris et al. "Connected
-    * Components in MapReduce", SOCC'14) cut that to O(log d) with the
-    * same per-round shape and are the drop-in upgrade if diameters ever
-    * matter. Every label is materialized per round (localCheckpoint), so
-    * the plan never nests across iterations (the Lloyd-chain lesson of
+    * (the corpus itself is never touched). Each round is one
+    * doc_id-keyed exchange for the neighbor gather plus one label-keyed
+    * self-join for POINTER DOUBLING (label(v) ← label(label(v)) — path
+    * compression in the hop-plus-jump style of Kiveris et al.
+    * "Connected Components in MapReduce", SOCC'14), so convergence is
+    * O(log diameter) rounds, not O(diameter) — web near-dup graphs mix
+    * shallow template stars with long edit-chains, and a measured
+    * sf0.1 run took 10+ plain-propagation rounds whose per-round job
+    * overhead dominated the wall. The change count rides the round's
+    * own materialization (prev carried as a column; the count is a
+    * leaf scan), and every round's labels are localCheckpoint'ed so
+    * plans never nest across iterations (the Lloyd-chain lesson of
     * q37). */
   private[queries] def components(pairs: DataFrame): DataFrame = {
     val edges = pairs
@@ -318,16 +319,21 @@ object DedupOps {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val next = labels
+      // hop: min over own + neighbors' labels
+      val hop = labels
         .join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("label"))
         .union(labels.select(col("doc_id"), col("label")))
         .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      changed = next
+      // jump: label(v) <- label(label(v)); every label value is itself a
+      // participating doc_id, so the self-join is total
+      val next = hop.as("a")
+        .join(hop.as("b"), col("a.label") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.label").as("label"))
         .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("doc_id", "label")
     }
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("rep_id"),
