@@ -74,6 +74,8 @@ object SparkEntry {
     "q36_ann_multiprobe"-> (AnnOps.ivfMultiprobeTopK _),
     "q37_kmeans_cells"  -> (AnnOps.kmeansCells _),
     "q38_kmeans_topk"   -> (AnnOps.kmeansTopK _),
+    "q39_pq_codes"      -> (AnnOps.pqCodes _),
+    "q41_pq_adc"        -> (AnnOps.pqAdcTopK _),
     // multimodal plumbing
     "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
   )
@@ -112,6 +114,8 @@ object SparkEntry {
     "q36_ann_multiprobe"-> AnnOps.ivfMultiprobeTopKSql,
     "q37_kmeans_cells"  -> AnnOps.kmeansCellsSql,
     "q38_kmeans_topk"   -> AnnOps.kmeansTopKSql,
+    "q39_pq_codes"      -> AnnOps.pqCodesSql,
+    "q41_pq_adc"        -> AnnOps.pqAdcTopKSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
   )
 }

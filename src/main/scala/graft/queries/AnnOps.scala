@@ -506,6 +506,210 @@ object AnnOps {
        |      FROM scored)
        |WHERE rn <= 3""".stripMargin
 
+  // ------------------------------------------------ product quantization
+
+  /** PQ geometry: 64 dims split into `PqM` subspaces of `PqSub` dims, each
+    * quantized against a `PqK`-entry per-subspace codebook trained with
+    * `PqIters` Lloyd iteration(s) from the deterministic seed (the first
+    * PqK vectors' subvectors). A stored vector compresses to PqM small
+    * codes — the memory path that lets a 10^10-vector index live in RAM
+    * next to the IVF cells (q37/q38), while search scores candidates from
+    * a per-query lookup table without ever touching the float vectors.
+    * All arithmetic is the exact-integer µ-unit recipe of q37 (floor-µ
+    * quantization, bigint squared-L2, packed argmin, positive-mod floor
+    * means), so DuckDB replays every code and distance bit-identically. */
+  private[queries] val PqM = 4
+  private[queries] val PqSub = 16
+  private[queries] val PqK = 8
+  private[queries] val PqIters = 1
+  /** ADC shortlist width before the exact re-rank (q41): codes at this
+    * resolution collapse within-cluster ordering (every member of the
+    * query's cluster shares one code tuple → adist ties), so the search is
+    * the published two-stage shape — ADC over codes for a shortlist, exact
+    * distance on the shortlist's full vectors only. */
+  private[queries] val PqShortlist = 16
+
+  /** Explode each µ-quantized vector into (vec_id, m, sv) subvector rows —
+    * a narrow per-row transform (no shuffle); at scale the subspace id
+    * rides the same partitioning as the vector. */
+  private def pqSubvectors(e: DataFrame): DataFrame = {
+    val arms = (0 until PqM).map(m =>
+      s"struct($m as m, slice(qv, ${m * PqSub + 1}, $PqSub) as sv)")
+      .mkString(",")
+    e.select(col("vec_id"), explode(expr(s"array($arms)")).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+  }
+
+  /** Nearest codebook entry per (vector, subspace): broadcast the PqM·PqK
+    * centroid rows, exact bigint sq-L2 via the native expression, argmin
+    * packed as dist·256+code (ties → lowest code; stays a codegen'd
+    * HashAggregate — q37's lesson). `sv` rides as a functionally-dependent
+    * grouping key. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("m"))
+      .withColumn("packed", expr("sq_l2(sv, cv) * 256 + code"))
+      .groupBy("vec_id", "m", "sv")
+      .agg(min(col("packed")).as("p"))
+      .select(col("vec_id"), col("m"), col("sv"),
+        expr("cast(p % 256 as int)").as("code"),
+        expr("p div 256").as("dist"))
+
+  /** Per-(subspace, code) floor-mean centroid update — one groupBy with
+    * PqSub partial sums; emptied codes drop out (identically in DuckDB). */
+  private def pqUpdate(assigned: DataFrame): DataFrame = {
+    val sums = (1 to PqSub).map(i =>
+      sum(expr(s"element_at(sv, $i)")).as(s"s$i"))
+    val agged = assigned.groupBy("m", "code")
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val means = (1 to PqSub).map(i =>
+      expr(s"(s$i - ((s$i % n + n) % n)) div n"))
+    agged.select(col("m"), col("code"), array(means: _*).as("cv"))
+  }
+
+  /** Train the codebook: seed from vectors 0..PqK-1, then `PqIters` Lloyd
+    * rounds with each round's O(PqM·PqK·PqSub) centroid longs collected to
+    * the driver (the q37/MLlib pattern — lazy chains recompute every prior
+    * iteration per probe). */
+  private def pqCodebook(s: SparkSession, sub: DataFrame): DataFrame = {
+    import s.implicits._
+    var cents = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+    for (_ <- 1 to PqIters)
+      cents = pqUpdate(pqAssign(sub, cents))
+        .as[(Int, Int, Array[Long])].collect().toSeq.toDF("m", "code", "cv")
+    cents
+  }
+
+  /** q39: the PQ ENCODE — every vector's per-subspace code (+ exact
+    * residual distance to its codebook entry). At 10^10 vectors this is
+    * the index-build job whose output (PqM bytes/vector) replaces the
+    * float vectors in the search tier. */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), expr(quantSpark).as("qv"))
+    val sub = pqSubvectors(e)
+    pqAssign(sub, pqCodebook(s, sub))
+      .select(col("vec_id"), col("m"), col("code"), col("dist"))
+  }
+
+  /** q41: PQ SEARCH — ADC shortlist + exact re-rank (the published
+    * IVFADC-with-re-ranking two-stage). Stage 1: each query (vec_id < 5)
+    * precomputes a PqM×PqK lookup table of exact subvector distances to
+    * the codebook (tiny — broadcast); candidates (vec_id ≥ 5) are scored
+    * by joining their CODES to the table and summing the PqM looked-up
+    * distances — the corpus's full vectors are never read in this scan,
+    * which is the point of PQ at 10^10 vectors. Stage 2: only the
+    * PqShortlist best per query fetch their full µ-vectors (a broadcast
+    * of |Q|·PqShortlist ids into the corpus scan) for the exact bigint
+    * squared-L2 top-3. */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), expr(quantSpark).as("qv"))
+    val sub = pqSubvectors(e)
+    val cents = pqCodebook(s, sub)
+    val codes = pqAssign(sub, cents)
+      .filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+    val lut = pqSubvectors(e.filter(col("vec_id") < 5))
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(cents, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        expr("sq_l2(sv, cv)").as("d"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+    val short = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rn", row_number().over(
+        win.orderBy(col("adist").asc, col("neighbor_id").asc)))
+      .filter(col("rn") <= PqShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    short
+      .join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"))),
+        Seq("query_id"))
+      .withColumn("dist", expr("sq_l2(qqv, qv)"))
+      .withColumn("rn", row_number().over(
+        win.orderBy(col("dist").asc, col("neighbor_id").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("dist"))
+  }
+
+  /** Shared PQ CTE chain: subvectors → seed codebook → PqIters Lloyd
+    * round(s) → final assignment `pqa` and trained codebook `pqcF`. */
+  private val pqCte: String = {
+    def sqL2(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(generate_series(1, $PqSub),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+    def assign(cT: String, out: String) =
+      s"""${out}d AS (
+         |  SELECT s.vec_id, s.m, s.sv, c.code,
+         |    ${sqL2("s.sv", "c.cv")} AS dist
+         |  FROM pqsub s JOIN $cT c ON s.m = c.m),
+         |$out AS (
+         |  SELECT vec_id, m, sv, code, dist FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, code) AS rn FROM ${out}d)
+         |  WHERE rn = 1)"""
+    def update(aT: String, out: String) = {
+      val sums = (1 to PqSub).map(i =>
+        s"CAST(SUM(sv[$i]) AS BIGINT) AS s$i").mkString(", ")
+      val means = (1 to PqSub).map(i =>
+        s"(s$i - ((s$i % n + n) % n)) // n").mkString(", ")
+      s"""${out}s AS (
+         |  SELECT m, code, COUNT(*) AS n, $sums FROM $aT GROUP BY m, code),
+         |$out AS (SELECT m, code, [$means] AS cv FROM ${out}s)"""
+    }
+    s"""eq AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |pqsub AS (
+       |  SELECT vec_id, m,
+       |    list_transform(generate_series(1, $PqSub),
+       |      i -> qv[m * $PqSub + i]) AS sv
+       |  FROM eq, ms),
+       |pqc0 AS (SELECT m, CAST(vec_id AS INTEGER) AS code, sv AS cv
+       |         FROM pqsub WHERE vec_id < $PqK),
+       |${assign("pqc0", "pqa1")},
+       |${update("pqa1", "pqcF")},
+       |${assign("pqcF", "pqa")}""".stripMargin
+  }
+
+  val pqCodesSql: String =
+    s"""WITH $pqCte
+       |SELECT vec_id, m, code, dist FROM pqa""".stripMargin
+
+  val pqAdcTopKSql: String =
+    s"""WITH $pqCte,
+       |codes AS (SELECT vec_id AS neighbor_id, m, code FROM pqa
+       |          WHERE vec_id >= 5),
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, c.m, c.code,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqSub),
+       |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT)
+       |      AS d
+       |  FROM pqsub s JOIN pqcF c ON s.m = c.m WHERE s.vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS adist
+       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+       |  GROUP BY query_id, neighbor_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS rn FROM scored)
+       |  WHERE rn <= $PqShortlist),
+       |rerank AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CAST(list_sum(list_transform(generate_series(1, ${PqM * PqSub}),
+       |      i -> (qe.qv[i] - ne.qv[i]) * (qe.qv[i] - ne.qv[i])))
+       |      AS BIGINT) AS dist
+       |  FROM short s
+       |  JOIN eq qe ON qe.vec_id = s.query_id
+       |  JOIN eq ne ON ne.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, dist FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM rerank)
+       |WHERE rn <= 3""".stripMargin
+
   /** Per-vector L2 norm in integer micro-units. */
   def norms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)

@@ -147,4 +147,34 @@ class AnnRecallSpec extends SparkTestBase {
         s"cluster $lbl split across cells: ${m.groupBy(_._2).view.mapValues(_.size).toMap}")
     }
   }
+
+  test("q39/q41 product quantization: every vector encodes to PqM codes " +
+       "in range, and ADC search over codes alone recovers brute-force " +
+       "neighbors on the clustered corpus") {
+    val codes = AnnOps.pqCodes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // exactly PqM codes per vector, each within [0, PqK)
+    assert(codes.length == vecs.size * AnnOps.PqM)
+    codes.groupBy(_._1).foreach { case (v, cs) =>
+      assert(cs.map(_._2).sorted.toSeq == (0 until AnnOps.PqM),
+        s"vector $v missing subspaces")
+    }
+    assert(codes.forall(c => c._3 >= 0 && c._3 < AnnOps.PqK))
+    // ADC ranks by (unnormalized) squared L2 — the right loss control is
+    // the EXACT-L2 top-3, not the cosine baseline (their orderings differ
+    // legitimately inside a tight cluster where all cosines ≈ 0.99)
+    def sqL2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i).toDouble - b(i)) * (a(i).toDouble - b(i))).sum
+    val exactL2 = (0L until 5L).flatMap { q =>
+      vecs.keys.filter(_ >= 5).toSeq
+        .sortBy(n => (sqL2(vecs(q), vecs(n)), n)).take(3).map((q, _))
+    }.toSet
+    val adc = AnnOps.pqAdcTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactL2 intersect adc).size.toDouble / exactL2.size
+    assert(recall >= 0.8, s"ADC recall $recall vs exact L2 (${adc.size})")
+    adc.foreach { case (q, n) =>
+      assert(cosine(vecs(q), vecs(n)) > 0.5, s"adc pair ($q,$n) not close")
+    }
+  }
 }

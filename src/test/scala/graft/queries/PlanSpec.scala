@@ -142,6 +142,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("cell"), p.take(400))
   }
 
+  test("q41 ADC search: codebook and lookup table broadcast (the candidate " +
+       "side ships codes only — no shuffle of the corpus embeddings), " +
+       "argmin-style aggregation stays partial, no CartesianProduct") {
+    val p = planOf(AnnOps.pqAdcTopK(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // both the assign (codes) and the score (LUT) joins are broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("partial_sum"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
