@@ -56,6 +56,7 @@ object SparkEntry {
     "q16_incr_lsh"      -> (DedupOps.incrLshCandidates _),
     "q17_incr_verify"   -> (DedupOps.incrJaccardVerify _),
     "q18_components"    -> (DedupOps.neardupComponents _),
+    "q19_corpus_final"  -> (CorpusOps.corpusFinal _),
     // text analysis
     "q20_lang_id"       -> (TextOps.langId _),
     "q21_quality"       -> (TextOps.qualityScore _),
@@ -64,6 +65,10 @@ object SparkEntry {
     "q24_bpe_tokens"    -> (TextOps.bpeTokens _),
     "q25_corpus_clean"  -> (TextOps.corpusClean _),
     "q26_repetition"    -> (TextOps.repetition _),
+    // corpus curation (decontaminate / sample / shard)
+    "q27_decontaminate" -> (CorpusOps.decontaminate _),
+    "q28_strat_sample"  -> (CorpusOps.stratifiedSample _),
+    "q29_shuffle_shards"-> (CorpusOps.shuffleShards _),
     // similarity search
     "q30_ann_brute"     -> (AnnOps.bruteForceTopK _),
     "q31_ann_ivf"       -> (AnnOps.ivfTopK _),
@@ -98,6 +103,7 @@ object SparkEntry {
     "q16_incr_lsh"      -> DedupOps.incrLshCandidatesSql,
     "q17_incr_verify"   -> DedupOps.incrJaccardVerifySql,
     "q18_components"    -> DedupOps.neardupComponentsSql,
+    "q19_corpus_final"  -> CorpusOps.corpusFinalSql,
     "q20_lang_id"       -> TextOps.langIdSql,
     "q21_quality"       -> TextOps.qualityScoreSql,
     "q22_token_stats"   -> TextOps.tokenStatsSql,
@@ -105,6 +111,9 @@ object SparkEntry {
     "q24_bpe_tokens"    -> TextOps.bpeTokensSql,
     "q25_corpus_clean"  -> TextOps.corpusCleanSql,
     "q26_repetition"    -> TextOps.repetitionSql,
+    "q27_decontaminate" -> CorpusOps.decontaminateSql,
+    "q28_strat_sample"  -> CorpusOps.stratifiedSampleSql,
+    "q29_shuffle_shards"-> CorpusOps.shuffleShardsSql,
     "q30_ann_brute"     -> AnnOps.bruteForceTopKSql,
     "q31_ann_ivf"       -> AnnOps.ivfTopKSql,
     "q32_embed_norms"   -> AnnOps.normsSql,

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators that sit between deduplication (DedupOps) and
+ * training: benchmark decontamination (q27), stratified hash sampling
+ * (q28), deterministic shuffle-sharding (q29), and the final-corpus
+ * materialization that chains clean + dedup + decontaminate (q19).
+ *
+ * All randomness is derived from sha256 of deterministic strings and all
+ * arithmetic is exact-integer, so the DuckDB oracles match bit-for-bit
+ * (the repo-wide rule; see SparkEntry).
+ *
+ * Scale notes (100 TB):
+ *  - q27's benchmark side is an eval suite — tiny next to the corpus — so
+ *    its distinct-gram set is explicitly `broadcast()`: the corpus side
+ *    streams map-side through the hash join, no corpus-wide shuffle.
+ *  - q28 is a pure scan→filter (predicate on a per-row hash) — embarrassing
+ *    parallel, no shuffle at all; rates per stratum are a CASE, not a join.
+ *  - q29 buckets by hash (shards ARE hash buckets, as in real shuffled
+ *    shard writers) and ranks within shard — the window partitions by
+ *    shard, so each shard sorts independently; no global single-partition
+ *    window anywhere.
+ */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Distinct word-5-grams per document (needs ≥5 tokens). */
+  private def grams5(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 5)," +
+          " i -> concat_ws(' ', slice(toks, i + 1, 5)))")).as("gram"))
+      .distinct()
+
+  private val grams5Sql: String =
+    """SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |      toks[i+3] || ' ' || toks[i+4] AS gram
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS toks,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 4)) AS i
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 5)""".stripMargin
+
+  /** q27: benchmark decontamination — flag corpus documents sharing any
+    * word-5-gram with the held-out benchmark set (here: doc_id % 50 = 0,
+    * a deterministic stand-in for an eval suite). Per contaminated doc:
+    * how many distinct grams leak and how many benchmark docs they hit.
+    * The gram join is corpus ⨝ broadcast(benchmark-grams). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val g = grams5(docs(s, dir))
+    val bench = g.filter(col("doc_id") % 50 === 0)
+      .select(col("gram"), col("doc_id").as("bench_id"))
+    val corpus = g.filter(col("doc_id") % 50 =!= 0)
+    corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH g AS (${grams5Sql.replace("\n", "\n  ")}),
+       |bench AS (SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 50 = 0),
+       |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+       |SELECT c.doc_id,
+       |  COUNT(DISTINCT c.gram) AS n_shared,
+       |  COUNT(DISTINCT b.bench_id) AS n_bench
+       |FROM corpus c JOIN bench b USING (gram)
+       |GROUP BY 1""".stripMargin
+
+  /** q28: stratified sampling — per-language keep rates in exact permille,
+    * decided by a deterministic per-row hash bucket (first 8 hex of
+    * sha256("smp:"+doc_id) mod 1000). Scan+filter only; the sample is
+    * reproducible across engines and runs. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (conv(substring(sha2(concat(lit("smp:"),
+            col("doc_id").cast("string")), 256), 1, 8), 16, 10)
+          .cast("long") % 1000).as("bucket"))
+      .withColumn("rate_permille",
+        when(col("lang") === "en", 500L)
+          .when(col("lang") === "de", 400L)
+          .when(col("lang") === "es", 300L)
+          .when(col("lang") === "fr", 200L)
+          .when(col("lang") === "zh", 100L)
+          .otherwise(0L))
+      .filter(col("bucket") < col("rate_permille"))
+
+  val stratifiedSampleSql: String =
+    """SELECT * FROM (
+      |  SELECT doc_id, lang, source,
+      |    (('0x' || substr(sha256('smp:' || doc_id), 1, 8))::BIGINT % 1000)
+      |      AS bucket,
+      |    CAST(CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 400
+      |      WHEN 'es' THEN 300 WHEN 'fr' THEN 200 WHEN 'zh' THEN 100
+      |      ELSE 0 END AS BIGINT) AS rate_permille
+      |  FROM documents)
+      |WHERE bucket < rate_permille""".stripMargin
+
+  /** q29: deterministic shuffle-sharding for training readers — shard id =
+    * hash bucket (the industry-standard shuffled-shard writer shape), and
+    * an in-shard position from a per-shard sort on the hash key. Each
+    * shard ranks independently (window PARTITION BY shard), so shard
+    * builds scale out; nothing orders the corpus globally. */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"),
+      sha2(concat(lit("shuf:"), col("doc_id").cast("string")), 256)
+        .as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % 32)
+          .cast("int"))
+    keyed.withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  val shuffleShardsSql: String =
+    """SELECT doc_id,
+      |  ((('0x' || substr(skey, 1, 8))::BIGINT % 32))::INT AS shard,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY ('0x' || substr(skey, 1, 8))::BIGINT % 32
+      |    ORDER BY skey, doc_id) AS BIGINT) AS pos
+      |FROM (SELECT doc_id, sha256('shuf:' || doc_id) AS skey
+      |      FROM documents)""".stripMargin
+
+  /** q19: final-corpus materialization — the capstone that chains the
+    * pipeline: q25's clean gate (exact-dedup survivor + lang-ID'd +
+    * type-token ratio + length) minus q27's contaminated set. This is the
+    * table a trainer actually reads. The anti-join's right side is the
+    * (small) contaminated-id set. */
+  def corpusFinal(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusClean(s, dir)
+      .filter(col("keep") === 1)
+      .join(broadcast(decontaminate(s, dir).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_tokens")
+
+  val corpusFinalSql: String =
+    s"""SELECT doc_id, lang, source, n_tokens
+       |FROM (${TextOps.corpusCleanSql.replace("\n", "\n  ")}) clean
+       |WHERE keep = 1 AND NOT EXISTS (
+       |  SELECT 1 FROM (${decontaminateSql.replace("\n", "\n  ")}) cont
+       |  WHERE cont.doc_id = clean.doc_id)""".stripMargin
+}

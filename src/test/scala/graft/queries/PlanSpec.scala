@@ -152,6 +152,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), p.take(1200))
   }
 
+  test("q27 decontaminate: benchmark gram set broadcast — the corpus side " +
+       "streams through a map-side hash join, no corpus-wide shuffle for " +
+       "the probe") {
+    val p = planOf(CorpusOps.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q28 sample: scan pruned to the 3 referenced columns (no text)") {
+    val p = planOf(CorpusOps.stratifiedSample(spark, dir))
+    assert(!p.contains("n_chars"), p.take(800))
+    assert(!p.contains("text:"), p.take(800))
+  }
+
+  test("q29 shards: window partitions by shard hash — per-shard sorts, " +
+       "never a single-partition global ordering") {
+    val p = planOf(CorpusOps.shuffleShards(spark, dir))
+    assert(p.contains("hashpartitioning(shard"), p.take(1200))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+    assert(!p.contains("rangepartitioning"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
