@@ -65,6 +65,8 @@ object SparkEntry {
     "q24_bpe_tokens"    -> (TextOps.bpeTokens _),
     "q25_corpus_clean"  -> (TextOps.corpusClean _),
     "q26_repetition"    -> (TextOps.repetition _),
+    "q42_token_df"      -> (TextOps.tokenDf _),
+    "q43_rare_ratio"    -> (TextOps.rareTokenRatio _),
     // corpus curation (decontaminate / sample / shard)
     "q27_decontaminate" -> (CorpusOps.decontaminate _),
     "q28_strat_sample"  -> (CorpusOps.stratifiedSample _),
@@ -111,6 +113,8 @@ object SparkEntry {
     "q24_bpe_tokens"    -> TextOps.bpeTokensSql,
     "q25_corpus_clean"  -> TextOps.corpusCleanSql,
     "q26_repetition"    -> TextOps.repetitionSql,
+    "q42_token_df"      -> TextOps.tokenDfSql,
+    "q43_rare_ratio"    -> TextOps.rareTokenRatioSql,
     "q27_decontaminate" -> CorpusOps.decontaminateSql,
     "q28_strat_sample"  -> CorpusOps.stratifiedSampleSql,
     "q29_shuffle_shards"-> CorpusOps.shuffleShardsSql,

@@ -278,4 +278,78 @@ object TextOps {
       |        x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
       |    (h, t) -> (h * 131 + t) % 1000000007) AS fp
       |FROM documents""".stripMargin
+
+  /** q42: corpus vocabulary with document frequency — the table a pipeline
+    * builds stopword lists, vocabulary caps and DF-based quality filters
+    * from. One row per distinct token: df (docs containing it) and df_ppm
+    * (integer parts-per-million share of the corpus).
+    *
+    * Scale shape: explode(distinct tokens) is narrow; the groupBy("tok")
+    * aggregates with map-side combine, so the shuffle carries one row per
+    * (partition, token) — bounded by vocabulary, not corpus size. The
+    * corpus total rides a 1-row broadcast (scalar subquery), never a
+    * second scan of the wide table. */
+  def tokenDf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val total = d.agg(count(lit(1)).cast("long").as("n_docs"))
+    d.select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("df"),
+        expr("(df * 1000000) div n_docs").as("df_ppm"))
+  }
+
+  val tokenDfSql: String =
+    """SELECT tok, df, (df * 1000000) // n_docs AS df_ppm
+      |FROM (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS tok
+      |        FROM documents)
+      |  GROUP BY tok),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)""".stripMargin
+
+  /** q43: rare-token ratio — per document, the permille of token
+    * OCCURRENCES whose corpus document-frequency is under 10% of docs
+    * (df_ppm < 100000). A high ratio marks garbage/OCR-noise documents a
+    * quality gate drops; the df side reuses q42's table.
+    *
+    * Scale shape: the rare set is df-filtered BEFORE the join, so only
+    * the (tiny) rare vocabulary ships — broadcast here, and still a
+    * vocab-bounded shuffle if it ever outgrew a broadcast. The per-doc
+    * rollup aggregates the exploded occurrences with map-side combine. */
+  def rareTokenRatio(s: SparkSession, dir: String): DataFrame = {
+    val rare = tokenDf(s, dir).filter(col("df_ppm") < 100000)
+      .select(col("tok"), lit(1L).as("is_rare"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(rare), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        coalesce(sum(col("is_rare")), lit(0L)).cast("long").as("rare_cnt"))
+      .withColumn("rare_permille",
+        expr("(rare_cnt * 1000) div n_tokens"))
+  }
+
+  val rareTokenRatioSql: String =
+    """WITH df AS (
+      |  SELECT tok, df, (df * 1000000) // n_docs AS df_ppm
+      |  FROM (
+      |    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      |    FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS tok
+      |          FROM documents)
+      |    GROUP BY tok),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)),
+      |occ AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents)
+      |SELECT o.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(SUM(CASE WHEN r.tok IS NOT NULL THEN 1 END), 0)
+      |    AS BIGINT) AS rare_cnt,
+      |  (CAST(COALESCE(SUM(CASE WHEN r.tok IS NOT NULL THEN 1 END), 0)
+      |    AS BIGINT) * 1000) // COUNT(*) AS rare_permille
+      |FROM occ o
+      |LEFT JOIN (SELECT tok FROM df WHERE df_ppm < 100000) r
+      |  ON o.tok = r.tok
+      |GROUP BY o.doc_id""".stripMargin
 }
