@@ -52,6 +52,7 @@ object SparkEntry {
     "q12_lsh_pairs"     -> (DedupOps.lshCandidatePairs _),
     "q13_jaccard_pairs" -> (DedupOps.jaccardPairs _),
     "q14_simhash"       -> (DedupOps.simhash _),
+    "q44_dup_spans"     -> (DedupOps.dupSpans _),
     "q15_incr_dedup"    -> (DedupOps.incrDedupExact _),
     "q16_incr_lsh"      -> (DedupOps.incrLshCandidates _),
     "q17_incr_verify"   -> (DedupOps.incrJaccardVerify _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "q41_pq_adc"        -> (AnnOps.pqAdcTopK _),
     // multimodal plumbing
     "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
+    "q45_mm_sniff"      -> (MultimodalOps.mmSniff _),
   )
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
@@ -101,6 +103,7 @@ object SparkEntry {
     "q12_lsh_pairs"     -> DedupOps.lshCandidatePairsSql,
     "q13_jaccard_pairs" -> DedupOps.jaccardPairsSql,
     "q14_simhash"       -> DedupOps.simhashSql,
+    "q44_dup_spans"     -> DedupOps.dupSpansSql,
     "q15_incr_dedup"    -> DedupOps.incrDedupExactSql,
     "q16_incr_lsh"      -> DedupOps.incrLshCandidatesSql,
     "q17_incr_verify"   -> DedupOps.incrJaccardVerifySql,
@@ -130,5 +133,6 @@ object SparkEntry {
     "q39_pq_codes"      -> AnnOps.pqCodesSql,
     "q41_pq_adc"        -> AnnOps.pqAdcTopKSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
+    "q45_mm_sniff"      -> MultimodalOps.mmSniffSql,
   )
 }

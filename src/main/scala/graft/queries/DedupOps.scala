@@ -405,4 +405,73 @@ object DedupOps {
       |  CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END)
       |    AS BIGINT) AS simhash
       |FROM bits GROUP BY 1""".stripMargin
+
+  /** q44: cross-document duplicated-SPAN coverage — the exact-substring
+    * dedup family member (the MassiveText/"Deduplicating Training Data
+    * Makes Language Models Better" shape, word-gram approximated): an
+    * 8-token gram occurring in ≥2 distinct documents is a duplicated
+    * span; per document, report how many token positions any such span
+    * covers, in exact permille. q26 scores WITHIN-doc repetition and q27
+    * checks grams against an EXTERNAL benchmark; this is the
+    * corpus-internal cross-doc case that span-removal dedup acts on.
+    *
+    * Scale shape: grams never shuffle as text — every group/join key is
+    * the fixed-width md5 hex of the gram (32 chars vs an unbounded
+    * 8-gram; at 10^10 docs a production run would widen to 128-bit
+    * binary, which md5 already is). The duplicated-gram set can itself be
+    * corpus-scale, so its join back to occurrences is an equi-join on the
+    * hash (shuffle-partitioned both sides, AQE may broadcast when small)
+    * — never a cartesian. Coverage explodes each surviving occurrence to
+    * its 8 positions and distinct-counts per doc: all group-bys combine
+    * map-side on (doc, key) pairs bounded by document length. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val occ = d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> named_struct('i', i," +
+          " 'gh', md5(concat_ws(' ', slice(toks, i, 8)))))")).as("o"))
+      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
+    val dup = occ.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val cov = occ.join(dup, "gh")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("dup_cov"))
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("dup_cov", coalesce(col("dup_cov"), lit(0L)))
+      .withColumn("dup_permille", expr("(dup_cov * 1000) div n_tokens"))
+  }
+
+  val dupSpansSql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, i,
+      |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |        toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |        toks[i+6] || ' ' || toks[i+7]) AS gh
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS toks,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 7)) AS i
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 8)),
+      |dup AS (
+      |  SELECT gh FROM (
+      |    SELECT gh, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, gh FROM occ)
+      |    GROUP BY gh) WHERE nd >= 2),
+      |cov AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_cov FROM (
+      |    SELECT DISTINCT o.doc_id, o.i + s.s AS p
+      |    FROM occ o JOIN dup d ON o.gh = d.gh,
+      |      (SELECT unnest(generate_series(0, 7)) AS s) s)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tokens,
+      |  COALESCE(c.dup_cov, 0) AS dup_cov,
+      |  (COALESCE(c.dup_cov, 0) * 1000)
+      |    // CAST(len(string_split(b.text, ' ')) AS BIGINT) AS dup_permille
+      |FROM documents b LEFT JOIN cov c ON b.doc_id = c.doc_id""".stripMargin
 }

@@ -89,4 +89,87 @@ class MultimodalSpec extends SparkTestBase {
       assert(idx == (0 until n by 3).toSeq)
     }
   }
+
+  // --- sniff: real container parsing over handcrafted byte fixtures ---
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("sniff png: signature + IHDR big-endian dims") {
+    val p = hexBytes(
+      "89504e470d0a1a0a 0000000d 49484452 00000280 000001e0 0806000000")
+    assert(MultimodalOps.sniff(p) == MultimodalOps.Sniffed("png", 640, 480))
+  }
+
+  test("sniff gif: GIF87a and GIF89a little-endian dims") {
+    val p89 = hexBytes("474946383961 8002 e001") // 640x480 LE
+    val p87 = hexBytes("474946383761 1000 0800") // 16x8
+    assert(MultimodalOps.sniff(p89) == MultimodalOps.Sniffed("gif", 640, 480))
+    assert(MultimodalOps.sniff(p87) == MultimodalOps.Sniffed("gif", 16, 8))
+  }
+
+  test("sniff wav: chunk walk skips odd-sized chunks (word alignment) " +
+       "before fmt; RIFF without fmt yields (0,0)") {
+    // JUNK chunk with ODD size 3 (+1 pad byte) before fmt : rate 44100, ch 2
+    val p = hexBytes(
+      "52494646 30000000 57415645" +
+      "4a554e4b 03000000 aabbcc 00" + // odd body + pad
+      "666d7420 10000000 0100 0200 44ac0000 10b10200 0400 1000")
+    assert(MultimodalOps.sniff(p) == MultimodalOps.Sniffed("wav", 44100, 2))
+    val nofmt = hexBytes("52494646 08000000 57415645 64617461 00000000")
+    assert(MultimodalOps.sniff(nofmt) == MultimodalOps.Sniffed("wav", 0, 0))
+  }
+
+  test("sniff jpeg: marker scan skips APP0/COM/DQT and fill bytes to the " +
+       "first SOF (progressive SOF2 included); DHT (C4) is not a SOF") {
+    // FFD8, APP0(len 4), COM(len 5), fill byte, DQT(len 3), SOF2 h=16 w=32
+    val p = hexBytes(
+      "ffd8 ffe0 0004 0000 fffe 0005 414243 ff ffdb 0003 00" +
+      "ffc2 0011 08 0010 0020 03 011100 021101 031101 ffd9")
+    assert(MultimodalOps.sniff(p) == MultimodalOps.Sniffed("jpeg", 32, 16))
+    // DHT before SOF0 must be skipped, not read as a frame header
+    val dht = hexBytes("ffd8 ffc4 0003 00 ffc0 0011 08 0008 0004 03" +
+      "011100 021101 031101 ffd9")
+    assert(MultimodalOps.sniff(dht) == MultimodalOps.Sniffed("jpeg", 4, 8))
+    // bare SOI+EOI: jpeg detected, no frame header → no dims
+    assert(MultimodalOps.sniff(hexBytes("ffd8ffd9")) ==
+      MultimodalOps.Sniffed("jpeg", 0, 0))
+  }
+
+  test("sniff hostile inputs: garbage, empty, truncated headers, corrupt " +
+       "RIFF size never throw") {
+    val cases = Seq(
+      Array.emptyByteArray,
+      hexBytes("00"),
+      hexBytes("89504e47"),                    // png magic cut short
+      hexBytes("474946"),                      // gif magic cut short
+      hexBytes("52494646 ffffffff 57415645"),  // negative RIFF chunk size
+      Array.tabulate[Byte](64)(i => (i * 37).toByte))
+    cases.foreach { p =>
+      val s = MultimodalOps.sniff(p) // must not throw
+      assert(s.format == "unknown" || s.dim1 == 0 || s.format.nonEmpty)
+    }
+    assert(MultimodalOps.sniff(hexBytes("00112233")).format == "unknown")
+  }
+
+  test("q45 construct→parse round trip inverts on every doc (parquet run)") {
+    val got = MultimodalOps.mmSniff(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.length == 500)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val expFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "wav"; case _ => "jpeg"
+      }
+      assert(r.getString(1) == expFmt, s"doc $id")
+      if (expFmt == "wav") {
+        assert(r.getLong(2) == id % 40000 + 8000)
+        assert(r.getLong(3) == id % 2 + 1)
+      } else {
+        assert(r.getLong(2) == id % 640 + 1)
+        assert(r.getLong(3) == id % 480 + 1)
+      }
+    }
+  }
 }

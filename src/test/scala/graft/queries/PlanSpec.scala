@@ -174,6 +174,38 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"), p.take(1200))
   }
 
+  test("q42 token DF: vocabulary group-by combines map-side; the corpus " +
+       "total is a 1-row broadcast, never a second shuffled scan") {
+    val p = planOf(TextOps.tokenDf(spark, dir))
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"), p.take(1200))
+    // only `text` feeds the op — wide/unused doc columns stay unread
+    assert(!p.contains("n_chars") && !p.contains("lang"), p.take(1200))
+  }
+
+  test("q43 rare ratio: rare vocabulary broadcast into the occurrence " +
+       "stream — no SortMergeJoin on tok, no CartesianProduct, per-doc " +
+       "rollup combines map-side") {
+    val p = planOf(TextOps.rareTokenRatio(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
+  test("q44 dup spans: every gram group/join key is the fixed-width hash " +
+       "(raw gram text never shuffles), no CartesianProduct, group-bys " +
+       "combine map-side") {
+    val p = planOf(DedupOps.dupSpans(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("gh"), p.take(800))
+    assert(p.contains("partial_count"), p.take(1200))
+    // the raw gram string is never a shuffle key: every hashpartitioning
+    // clause keys on doc_id / gh / p, never a `gram` column
+    assert(!"hashpartitioning\\([^)]*gram".r.findFirstIn(p).isDefined, p)
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
