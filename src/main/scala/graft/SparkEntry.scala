@@ -70,6 +70,10 @@ object SparkEntry {
     "q43_rare_ratio"    -> (TextOps.rareTokenRatio _),
     // corpus curation (decontaminate / sample / shard)
     "q27_decontaminate" -> (CorpusOps.decontaminate _),
+    // temporal joins / segmentation (fetch-log timeline analogs)
+    "q46_asof_join"     -> (TemporalOps.asofLastClick _),
+    "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
+    "q48_sessionize"    -> (TemporalOps.sessionize _),
     "q28_strat_sample"  -> (CorpusOps.stratifiedSample _),
     "q29_shuffle_shards"-> (CorpusOps.shuffleShards _),
     // similarity search
@@ -134,5 +138,8 @@ object SparkEntry {
     "q41_pq_adc"        -> AnnOps.pqAdcTopKSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
     "q45_mm_sniff"      -> MultimodalOps.mmSniffSql,
+    "q46_asof_join"     -> TemporalOps.asofLastClickSql,
+    "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
+    "q48_sessionize"    -> TemporalOps.sessionizeSql,
   )
 }

@@ -206,6 +206,34 @@ class PlanSpec extends SparkTestBase {
     assert(!"hashpartitioning\\([^)]*gram".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q46 as-of: NO join operator at all — one union, one shuffle on " +
+       "user_id, carry-forward window; type filters pushed to the scan") {
+    val p = planOf(TemporalOps.asofLastClick(spark, dir))
+    assert(!p.contains("Join"), p.take(1200)) // matches every join variant
+    assert(p.contains("Union"), p.take(1200))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(p.contains("PushedFilters"), p.take(800))
+    assert(p.contains("EqualTo(event_type,click)"), p)
+  }
+
+  test("q47 range join: bucketized to an equi-join — no " +
+       "BroadcastNestedLoopJoin, no CartesianProduct, bin in the join keys") {
+    val p = planOf(TemporalOps.rangeJoinCoverage(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("bin"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("q48 sessionize: one shuffle on user_id feeds both the window and " +
+       "the rollup; the rollup combines map-side; scan pruned") {
+    val p = planOf(TemporalOps.sessionize(spark, dir))
+    assert(!p.contains("Join"), p.take(1200))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("props") && !p.contains("event_type"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
