@@ -137,13 +137,21 @@ object TemporalOps {
   // politeness ledger's strict earliest_update comparison, db.c:771).
   // -------------------------------------------------------------------
 
-  private val GapUs = 1800000000L // 30 min in µs
+  /** Session gap: 30 min in µs (shared with the streaming twin). */
+  val GapUs = 1800000000L
 
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeDf(events(s, dir))
+
+  /** Batch sessionization over any frame with (user_id, event_id, ts,
+    * value) — split out so the streaming twin
+    * (streaming.EventStream.sessionizeStream) can be parity-tested against
+    * the identical input. */
+  def sessionizeDf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("t_us").asc, col("event_id").asc)
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, dir)
+    ev
       .select(col("user_id"), col("event_id"), us(col("ts")).as("t_us"),
         round(col("value") * 100).cast("long").as("vc"))
       .withColumn("prev_us", lag(col("t_us"), 1).over(w))

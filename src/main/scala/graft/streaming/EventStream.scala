@@ -62,6 +62,85 @@ object EventStream {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Gap sessionization — the streaming twin of queries.TemporalOps
+  // .sessionize (q48): identical session boundaries (strict > gap),
+  // identical output row per CLOSED session, continuous instead of batch.
+  // -------------------------------------------------------------------
+
+  /** One event on the wire; `ts` carries event time for the watermark,
+    * `t_us`/`vc` the exact-integer copies the session math uses. */
+  final case class UserEvent(user_id: Long, event_id: Long,
+                             ts: java.sql.Timestamp, t_us: Long, vc: Long)
+
+  /** Per-session emitted row — column-identical to batch q48. */
+  final case class SessionRow(user_id: Long, sess_idx: Long, n_events: Long,
+                              dur_us: Long, value_cents: Long)
+
+  /** Keyed state: 1-based index of the OPEN session (matches the batch
+    * cumsum numbering) plus its running aggregate; `open=false` after a
+    * timeout closed it. */
+  final case class SessState(idx: Long, open: Boolean, startUs: Long,
+                             lastUs: Long, n: Long, cents: Long)
+
+  /**
+   * Sessions close either when a later event of the same user arrives
+   * past the gap (same trigger or a later one) or when the event-time
+   * watermark passes lastSeen+gap with no further data (EventTimeTimeout)
+   * — so the emitted stream is exactly the batch result restricted to
+   * sessions the watermark has proven complete. State is one fixed-size
+   * row per ACTIVE user, sharded by the state store on user_id: the
+   * 100 TB-scale cost is O(active users), not O(events), and each trigger
+   * touches only users with new data plus those timing out.
+   */
+  def sessionizeStream(events: Dataset[UserEvent],
+                       gapUs: Long,
+                       watermarkDelay: String = "0 seconds")
+      : Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[UserEvent],
+         state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastUs+gap with no new data: the open
+            // session is complete — emit it, keep only the counter
+            val st = state.get
+            state.update(st.copy(idx = st.idx + 1, open = false))
+            Iterator.single(SessionRow(user, st.idx, st.n,
+              st.lastUs - st.startUs, st.cents))
+          } else {
+            val out = Vector.newBuilder[SessionRow]
+            var st = state.getOption
+              .getOrElse(SessState(1, open = false, 0, 0, 0, 0))
+            // deterministic within a trigger: event-time order, exactly
+            // the batch window's (t_us, event_id) sort
+            batch.toVector.sortBy(e => (e.t_us, e.event_id)).foreach { e =>
+              st =
+                if (!st.open)
+                  SessState(st.idx, open = true, e.t_us, e.t_us, 1, e.vc)
+                else if (e.t_us - st.lastUs > gapUs) { // strict >, as batch
+                  out += SessionRow(user, st.idx, st.n,
+                    st.lastUs - st.startUs, st.cents)
+                  SessState(st.idx + 1, open = true, e.t_us, e.t_us, 1, e.vc)
+                } else
+                  st.copy(lastUs = e.t_us, n = st.n + 1,
+                    cents = st.cents + e.vc)
+            }
+            state.update(st)
+            if (st.open) // close when the watermark proves the gap; +1 ms
+              // rounds UP so the ms-floored timeout can never fire before
+              // the exact µs boundary (premature close would break strict->
+              // parity with the batch window)
+              state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000L + 1L)
+            out.result().iterator
+          }
+      }
+  }
+
   /**
    * Emit at most one request per host per politeness window of
    * `rateSec`; the window advances at emission (the reference writes

@@ -59,6 +59,77 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows.contains((10 * h, "B", 1L)))
   }
 
+  test("sessionizeStream: strict-gap boundaries in the data path, " +
+       "watermark timeout closes idle sessions, batch-identical numbering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{SessionRow, UserEvent}
+    def ue(user: Long, id: Long, tUs: Long, vc: Long) =
+      UserEvent(user, id, new java.sql.Timestamp(tUs / 1000), tUs, vc)
+    val G = 10000000L // 10 s gap for the test
+    val base = 1700000000000000L
+    val in = MemoryStream[UserEvent]
+    val q = EventStream.sessionizeStream(in.toDS(), gapUs = G)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: gap EXACTLY G (stays), then gap G+1µs (closes in-trigger)
+    in.addData(ue(1, 10, base, 100), ue(1, 11, base + G, 200),
+      ue(1, 12, base + 2 * G + 1, 400))
+    q.processAllAvailable()
+    // user 2 opens; far-future user-3 event advances the watermark past
+    // user 1's and 2's last+G → both open sessions close via timeout
+    in.addData(ue(2, 20, base + 3 * G, 800))
+    q.processAllAvailable()
+    in.addData(ue(3, 30, base + 100 * G, 1600))
+    q.processAllAvailable()
+
+    val got = spark.table("sessions").as[SessionRow].collect().toSet
+    q.stop()
+    assert(got == Set(
+      SessionRow(1, 1, 2, G, 300),      // closed by the G+1 event
+      SessionRow(1, 2, 1, 0, 400),      // closed by timeout
+      SessionRow(2, 1, 1, 0, 800)))     // closed by timeout
+  }
+
+  test("sessionizeStream ≡ batch q48 on the real sf0.001 events, fed in " +
+       "3 event-time-ordered triggers + a watermark flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{SessionRow, UserEvent}
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val all = ev.select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"),
+        unix_micros(col("ts").cast("timestamp")).as("t_us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[UserEvent].collect().sortBy(e => (e.t_us, e.event_id))
+    val in = MemoryStream[UserEvent]
+    val q = EventStream.sessionizeStream(in.toDS(),
+        gapUs = graft.queries.TemporalOps.GapUs)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    all.grouped((all.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // flush: one far-future event closes every open session via timeout
+    val tMax = all.last.t_us + 1000L * graft.queries.TemporalOps.GapUs
+    in.addData(UserEvent(-1L, -1L, new java.sql.Timestamp(tMax / 1000),
+      tMax, 0L))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_parity").as[SessionRow].collect()
+      .filter(_.user_id >= 0).map(r =>
+        (r.user_id, r.sess_idx, r.n_events, r.dur_us, r.value_cents)).toSet
+    q.stop()
+    val batch = graft.queries.TemporalOps.sessionizeDf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}; " +
+        s"onlyStream=${(streamed -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
   test("seenFilter: first occurrence only, across batches (streaming twin " +
        "of J2/U1)") {
     import spark.implicits._
