@@ -71,6 +71,8 @@ object SparkEntry {
     // corpus curation (decontaminate / sample / shard)
     "q27_decontaminate" -> (CorpusOps.decontaminate _),
     // temporal joins / segmentation (fetch-log timeline analogs)
+    "q49_pii_redact"    -> (TextOps.piiRedact _),
+    "q50_len_quantiles" -> (CorpusOps.lenQuantiles _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -138,6 +140,8 @@ object SparkEntry {
     "q41_pq_adc"        -> AnnOps.pqAdcTopKSql,
     "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
     "q45_mm_sniff"      -> MultimodalOps.mmSniffSql,
+    "q49_pii_redact"    -> TextOps.piiRedactSql,
+    "q50_len_quantiles" -> CorpusOps.lenQuantilesSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -150,4 +150,48 @@ object CorpusOps {
        |WHERE keep = 1 AND NOT EXISTS (
        |  SELECT 1 FROM (${decontaminateSql.replace("\n", "\n  ")}) cont
        |  WHERE cont.doc_id = clean.doc_id)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q50: exact per-source length quantiles — corpus length profiling for
+  // curation cutoffs. Quantile = the value at 1-based rank
+  // (cnt-1)*q div 100 + 1 under the total order (n_chars, doc_id), so
+  // both engines pick the identical row (no interpolation, no
+  // approximate sketch — approx_percentile would not oracle-match).
+  // Scale shape: one shuffle on source for the rank window, then the
+  // rollup combines map-side; at 10^10 docs a per-source sort is the
+  // honest cost of an EXACT quantile, and the same query swaps to
+  // approx_percentile when a sketch is acceptable.
+  // -------------------------------------------------------------------
+
+  def lenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wAll = Window.partitionBy("source")
+    def pick(q: Int) = max(when(col("rn") ===
+      expr(s"(cnt - 1) * $q div 100 + 1"), col("n_chars")))
+    docs(s, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy("source")
+      .agg(max(col("cnt")).as("n_docs"),
+        pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
+  }
+
+  val lenQuantilesSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents)
+      |SELECT source, CAST(MAX(cnt) AS BIGINT) AS n_docs,
+      |  CAST(MAX(CASE WHEN rn = (cnt-1)*50//100 + 1 THEN n_chars END)
+      |    AS BIGINT) AS p50,
+      |  CAST(MAX(CASE WHEN rn = (cnt-1)*90//100 + 1 THEN n_chars END)
+      |    AS BIGINT) AS p90,
+      |  CAST(MAX(CASE WHEN rn = (cnt-1)*99//100 + 1 THEN n_chars END)
+      |    AS BIGINT) AS p99
+      |FROM r GROUP BY 1""".stripMargin
 }

@@ -352,4 +352,60 @@ object TextOps {
       |LEFT JOIN (SELECT tok FROM df WHERE df_ppm < 100000) r
       |  ON o.tok = r.tok
       |GROUP BY o.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q49: PII detect + redact — construct→scan round trip. The synthetic
+  // corpus is PII-free by construction (no digit/@/+ ever appears in
+  // `text`), so each doc gets a deterministic contact block injected IN
+  // the dataflow (doc_id%3+1 emails, doc_id%2 phones); the operator then
+  // finds and redacts it with REAL regexes, exactly as a curation
+  // pipeline scrubs scraped text. The DuckDB oracle builds the expected
+  // REDACTED string directly from the arithmetic — md5 agreement proves
+  // the regexes matched precisely the injected spans and nothing else
+  // (an over- or under-match anywhere in ~1k chars flips the hash).
+  // Scale shape: pure per-row scan→map, no shuffle, codegen'd regexes.
+  // -------------------------------------------------------------------
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id") % 3 + 1
+    val emails = concat_ws(" ", transform(sequence(lit(1), k.cast("int")),
+      j => concat(lit("u"), col("doc_id"), lit("j"), j,
+        lit("@mail"), (col("doc_id") + j) % 10, lit(".example.org"))))
+    val phone = concat(lit("+1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-"),
+      lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"))
+    val full = concat(col("text"), lit(" "), emails,
+      when(col("doc_id") % 2 === 1, concat(lit(" "), phone))
+        .otherwise(lit("")))
+    val red = regexp_replace(
+      regexp_replace(col("text0"), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    docs(s, dir)
+      .select(col("doc_id"), full.as("text0"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text0"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text0"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(red).cast("long").as("red_len"),
+        md5(red).as("red_md5"))
+  }
+
+  val piiRedactSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_emails,
+      |  CAST(doc_id % 2 AS BIGINT) AS n_phones,
+      |  CAST(strlen(red) AS BIGINT) AS red_len,
+      |  md5(red) AS red_md5
+      |FROM (
+      |  SELECT doc_id, text || ' ' ||
+      |    CASE doc_id % 3 WHEN 0 THEN '<EMAIL>'
+      |      WHEN 1 THEN '<EMAIL> <EMAIL>'
+      |      ELSE '<EMAIL> <EMAIL> <EMAIL>' END ||
+      |    CASE doc_id % 2 WHEN 1 THEN ' <PHONE>' ELSE '' END AS red
+      |  FROM documents)""".stripMargin
 }

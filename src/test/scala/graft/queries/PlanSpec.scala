@@ -234,6 +234,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("props") && !p.contains("event_type"), p.take(1200))
   }
 
+  test("q49 PII redact: pure per-row scan→map — no exchange anywhere, " +
+       "scan pruned to doc_id+text") {
+    val p = planOf(TextOps.piiRedact(spark, dir))
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("n_chars") && !p.contains("lang"), p.take(1200))
+  }
+
+  test("q50 quantiles: ONE shuffle on source shared by the rank window " +
+       "and the rollup; text never read") {
+    val p = planOf(CorpusOps.lenQuantiles(spark, dir))
+    assert("hashpartitioning\\(source".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("text"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
