@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// glibc retains freed large allocations in per-thread malloc arenas
+// (default 8×cores = 256 arenas on this box); across the bench's many
+// session restarts the freed off-heap pools linger as RSS and stack
+// toward the container limit (observed: 118 GB anon-rss OOM kill with
+// two 40 GB pools + heap). Four arenas bound the retention without
+// measurable contention for Spark's MB-sized off-heap allocations.
+Test / envVars += "MALLOC_ARENA_MAX" -> "4"
+run / envVars += "MALLOC_ARENA_MAX" -> "4"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,6 +17,20 @@ import graft.driver.CrawlDriver
  */
 object Bench {
 
+  /** Delete stale shuffle/spill dirs under the tmpfs local dir. tmpfs
+    * pages count against the same RAM the heap and off-heap pools need;
+    * a SIGKILLed earlier run leaves its dirs behind (no shutdown hook
+    * ran), so the next bench starts with gigabytes already gone. Called
+    * when NO session is active — live sessions own a fresh subdir. */
+  private def cleanShm(): Unit = {
+    val root = new java.io.File("/dev/shm/graft-spark")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
+  }
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,10 +48,17 @@ object Bench {
       .config("spark.shuffle.spill.compress", "false")
       // round state (checkpointed deltas, step cache) lives OFF-HEAP so
       // the retained gigabytes never pressure the GC old generation —
-      // collector pauses were 25-50% of big-sweep wall with on-heap state
+      // collector pauses were 25-50% of big-sweep wall with on-heap state.
+      // 12g is sized to the ACTUAL need (N=2M round state is ~1-2 GB
+      // serialized; execution spills stay far below): the earlier 40g
+      // default was uncalibrated headroom, and because freed pools can
+      // linger as RSS across the campaign's session restarts (glibc arena
+      // retention), two lingering 40g pools + the 56g heap OOM-killed a
+      // 125 GB box mid-campaign. Oversizing off-heap is NOT safe-by-
+      // default in one long-lived JVM.
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size",
-        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "40g"))
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "12g"))
       // RDD-block serializer kept at the Java default: Kryo was A/B-tested
       // against the ~140 GB of JavaSerializer UnsafeRow churn the
       // allocation profile showed, and LOST at 32 threads (local[32] 1M
@@ -143,7 +164,7 @@ object Bench {
         println(f"[sweep] cpus=$cpus wall=$wall%.2f gc=$gc%.2fs work=${drv.workPhaseSec}%.2f")
       val discovered = drv.frontier.count() - n
       Sweep(drv.seq, discovered, wall, drv.workPhaseSec, gc)
-    } finally spark.stop()
+    } finally { spark.stop(); cleanShm() }
   }
 
   /**
@@ -174,7 +195,7 @@ object Bench {
         BenchWeb.web(warmSession, n / 5, outlinks), store = None)
       warm.seedDs(BenchWeb.seeds(warmSession, n / 5), t0 - 1)
       warm.run(t0, 1)
-    } finally warmSession.stop()
+    } finally { warmSession.stop(); cleanShm() }
     val start = System.nanoTime()
     var pairs = Vector.empty[Pair]
     def rawEff(p: Pair): Double =
@@ -262,10 +283,11 @@ object Bench {
         rows += drv.frontierRows
       }
       (drv.roundWallSec, rows.result())
-    } finally spark.stop()
+    } finally { spark.stop(); cleanShm() }
   }
 
   def main(args: Array[String]): Unit = {
+    cleanShm() // reclaim tmpfs residue a killed earlier run left behind
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val n = sys.env.get("SPARK_GRAFT_CRAWL_N").map(_.toLong).getOrElse {
@@ -296,7 +318,7 @@ object Bench {
               }
             name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
           }
-      } finally spark.stop()
+      } finally { spark.stop(); cleanShm() }
 
     // --- crawl sweeps at two parallelism levels, INTERLEAVED, at big N:
     // the sweep is sized so a round carries minutes of real work and the

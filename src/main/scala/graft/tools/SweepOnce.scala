@@ -27,7 +27,7 @@ object SweepOnce {
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size",
-        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "40g"))
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "12g"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

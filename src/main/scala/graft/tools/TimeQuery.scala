@@ -27,7 +27,7 @@ object TimeQuery {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", "40g")
+      .config("spark.memory.offHeap.size", "12g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
