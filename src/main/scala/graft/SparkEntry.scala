@@ -73,6 +73,7 @@ object SparkEntry {
     // temporal joins / segmentation (fetch-log timeline analogs)
     "q49_pii_redact"    -> (TextOps.piiRedact _),
     "q50_len_quantiles" -> (CorpusOps.lenQuantiles _),
+    "q51_bpe_merges"    -> (TextOps.bpeMerges _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "q45_mm_sniff"      -> MultimodalOps.mmSniffSql,
     "q49_pii_redact"    -> TextOps.piiRedactSql,
     "q50_len_quantiles" -> CorpusOps.lenQuantilesSql,
+    "q51_bpe_merges"    -> TextOps.bpeMergesSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

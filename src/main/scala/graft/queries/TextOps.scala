@@ -408,4 +408,113 @@ object TextOps {
       |      ELSE '<EMAIL> <EMAIL> <EMAIL>' END ||
       |    CASE doc_id % 2 WHEN 1 THEN ' <PHONE>' ELSE '' END AS red
       |  FROM documents)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q51: BPE merge-pair training — the operator that completes the
+  // tokenizer family (q24 pretokenizes, q42 builds the vocabulary table;
+  // this TRAINS the merge table an actual BPE tokenizer is defined by).
+  // Sennrich-style: start from per-word character sequences weighted by
+  // corpus word frequency; each iteration counts adjacent symbol pairs,
+  // picks the most frequent (ties → lexicographic (l, r)), and applies
+  // the merge greedily left-to-right in every word.
+  //
+  // Scale shape (the published distributed-BPE recipe): ONE corpus scan
+  // folds the 100 TB of text into a word-frequency table (map-side
+  // combine, vocabulary-bounded shuffle); all K iterations then run on
+  // that vocab table only — a vocab-bounded pair aggregate plus a 1-row
+  // TakeOrdered to the driver per iteration (the same driver-coordinated
+  // pattern as q37's Lloyd iterations), with the vocab re-materialized
+  // per iteration via lazy localCheckpoint so iteration k never replays
+  // the k-1 merges before it.
+  //
+  // Representation: a word's symbol sequence is a single string with
+  // every symbol wrapped in U+001F sentinels ("th","e" → ␟th␟␟e␟), so a
+  // merge is a plain (codegen'd) string replace of ␟l␟␟r␟ with ␟lr␟ —
+  // boundary-anchored (symbols never contain the sentinel: training runs
+  // over the alphabetic ` ?[A-Za-z]+` pretokens), and leftmost-restart-
+  // after-replacement replace semantics (identical in Java and DuckDB)
+  // ARE greedy left-to-right BPE application: "aaaa" + (a,a) → (aa)(aa).
+  // The DuckDB oracle replays the full K-iteration fixpoint as chained
+  // CTEs — argmax selection included — so the merge table matches
+  // bit-for-bit, not just statistically.
+  // -------------------------------------------------------------------
+
+  private val MergeK = 8
+  private val Sep = "\u001F"
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(" ?[A-Za-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .select(regexp_replace(col("word"), "(.)", Sep + "$1" + Sep)
+        .as("rep"), col("freq"))
+    var vocab = words.localCheckpoint(false)
+    val syms = split(expr(s"trim(BOTH '$Sep' FROM rep)"), Sep + Sep)
+    // adjacent pairs via indexed transform over a length-(n-1) slice —
+    // never sequence(1, n-1), which DESCENDS for single-symbol words
+    val pairs = explode(expr(
+      "transform(slice(syms, 1, size(syms) - 1), " +
+        "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= MergeK && !exhausted) {
+      val best = vocab
+        .select(syms.as("syms"), col("freq"))
+        .select(pairs.as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((k.toLong, l, r, l + r, cnt))
+        vocab = vocab
+          .select(replace(col("rep"), lit(Sep + l + Sep + Sep + r + Sep),
+            lit(Sep + l + r + Sep)).as("rep"), col("freq"))
+          .localCheckpoint(false)
+        k += 1
+      }
+    }
+    out.toSeq.toDF("merge_rank", "l", "r", "merged", "cnt")
+  }
+
+  val bpeMergesSql: String = {
+    val S = "chr(31)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(text, ' ?[A-Za-z]+')) AS word
+      |        FROM documents)
+      |  GROUP BY word),
+      |v0 AS (SELECT regexp_replace(word, '(.)', $S || '\\1' || $S, 'g')
+      |         AS rep, freq FROM w)""".stripMargin
+    for (k <- 1 to MergeK) {
+      sb ++= s""",
+      |b$k AS (
+      |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT syms[i] AS l, syms[i + 1] AS r, freq
+      |        FROM (SELECT syms, freq,
+      |                unnest(generate_series(1, len(syms) - 1)) AS i
+      |              FROM (SELECT string_split(trim(rep, $S), $S || $S)
+      |                      AS syms, freq FROM v${k - 1})))
+      |  GROUP BY l, r
+      |  ORDER BY cnt DESC, l, r
+      |  LIMIT 1),
+      |v$k AS (
+      |  SELECT replace(v.rep, $S || b.l || $S || $S || b.r || $S,
+      |                 $S || b.l || b.r || $S) AS rep, v.freq
+      |  FROM v${k - 1} v, b$k b)""".stripMargin
+    }
+    sb ++= "\nSELECT merge_rank, l, r, merged, cnt FROM (\n" +
+      (1 to MergeK).map(k =>
+        s"  SELECT CAST($k AS BIGINT) AS merge_rank, l, r, l || r AS merged, cnt FROM b$k")
+        .mkString("", "\n  UNION ALL\n", ")")
+    sb.toString
+  }
 }
