@@ -74,6 +74,7 @@ object SparkEntry {
     "q49_pii_redact"    -> (TextOps.piiRedact _),
     "q50_len_quantiles" -> (CorpusOps.lenQuantiles _),
     "q51_bpe_merges"    -> (TextOps.bpeMerges _),
+    "q52_bpe_encode"    -> (TextOps.bpeEncode _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "q49_pii_redact"    -> TextOps.piiRedactSql,
     "q50_len_quantiles" -> CorpusOps.lenQuantilesSql,
     "q51_bpe_merges"    -> TextOps.bpeMergesSql,
+    "q52_bpe_encode"    -> TextOps.bpeEncodeSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -442,8 +442,11 @@ object TextOps {
   private val MergeK = 8
   private val Sep = "\u001F"
 
-  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The K-iteration training loop shared by q51 (emits the merge table)
+    * and q52 (applies the merges): returns (rank, l, r, merged, count)
+    * in rank order, fewer than K rows if the corpus exhausts first. */
+  private def trainMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] = {
     val words = docs(s, dir)
       .select(explode(regexp_extract_all(col("text"),
         lit(" ?[A-Za-z]+"), lit(0))).as("word"))
@@ -481,10 +484,17 @@ object TextOps {
         k += 1
       }
     }
-    out.toSeq.toDF("merge_rank", "l", "r", "merged", "cnt")
+    out.toSeq
   }
 
-  val bpeMergesSql: String = {
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainMerges(s, dir).toDF("merge_rank", "l", "r", "merged", "cnt")
+  }
+
+  /** The shared oracle prefix: w (word frequencies), v0..vK (vocab after
+    * each merge), b1..bK (the argmax pair of each iteration). */
+  private val bpeCtes: String = {
     val S = "chr(31)"
     val sb = new StringBuilder
     sb ++= s"""WITH w AS (
@@ -511,10 +521,90 @@ object TextOps {
       |                 $S || b.l || b.r || $S) AS rep, v.freq
       |  FROM v${k - 1} v, b$k b)""".stripMargin
     }
-    sb ++= "\nSELECT merge_rank, l, r, merged, cnt FROM (\n" +
+    sb.toString
+  }
+
+  val bpeMergesSql: String =
+    bpeCtes + "\nSELECT merge_rank, l, r, merged, cnt FROM (\n" +
       (1 to MergeK).map(k =>
         s"  SELECT CAST($k AS BIGINT) AS merge_rank, l, r, l || r AS merged, cnt FROM b$k")
         .mkString("", "\n  UNION ALL\n", ")")
+
+  // -------------------------------------------------------------------
+  // q52: BPE encode — apply the q51-trained merges to every document and
+  // report the number a pipeline actually budgets by: trained-tokenizer
+  // token counts (q24's pretoken count is the cheap upper bound; this is
+  // the real figure). Per doc: alphabetic pretokens joined on a U+001E
+  // boundary (merges never cross pretokens), every char wrapped in the
+  // U+001F sentinels, then the K trained merges applied IN RANK ORDER as
+  // literal replaces; token count = sentinel-pair count.
+  //
+  // Scale shape: training reuses q51 (vocab-bounded); encoding is then a
+  // SINGLE whole-stage-codegen'd scan — one regexp_replace + K literal
+  // replaces + two lengths per row, no shuffle, no UDF, merges inlined
+  // as literals from the driver (8 tiny strings). The DuckDB oracle
+  // re-derives the merges via q51's CTE chain and applies them with
+  // scalar subqueries, so a drift in EITHER training or application
+  // breaks the hash.
+  // -------------------------------------------------------------------
+
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val Rs = "\u001E" // pretoken boundary: never wrapped, never merged
+    val merges = trainMerges(s, dir)
+    val toks = regexp_extract_all(col("text"), lit(" ?[A-Za-z]+"), lit(0))
+    val rep0 = regexp_replace(array_join(toks, Rs),
+      s"([^$Rs])", Sep + "$1" + Sep)
+    val repK = merges.foldLeft(rep0) { case (c, (_, l, r, _, _)) =>
+      replace(c, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+    docs(s, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("pre_tokens"),
+        repK.as("rep"))
+      .select(col("doc_id"), col("pre_tokens"),
+        expr(s"(length(replace(rep, '$Rs', '')) -" +
+          s" length(replace(replace(rep, '$Rs', ''), '$Sep', ''))) div 2")
+          .as("bpe_tokens"),
+        expr(s"length(replace(replace(rep, '$Rs', ''), '$Sep', ''))")
+          .cast("long").as("alpha_chars"))
+      .withColumn("chars_per_token_permille",
+        expr("CASE WHEN bpe_tokens = 0 THEN 0 " +
+          "ELSE (alpha_chars * 1000) div bpe_tokens END"))
+  }
+
+  val bpeEncodeSql: String = {
+    val S = "chr(31)"
+    val R = "chr(30)"
+    val sb = new StringBuilder
+    sb ++= bpeCtes
+    sb ++= s""",
+      |d0 AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS BIGINT)
+      |      AS pre_tokens,
+      |    regexp_replace(
+      |      array_to_string(regexp_extract_all(text, ' ?[A-Za-z]+'), $R),
+      |      '([^' || $R || '])', $S || '\\1' || $S, 'g') AS rep
+      |  FROM documents)""".stripMargin
+    for (k <- 1 to MergeK) {
+      sb ++= s""",
+      |d$k AS (
+      |  SELECT doc_id, pre_tokens,
+      |    replace(rep,
+      |      COALESCE((SELECT $S || l || $S || $S || r || $S FROM b$k), chr(2)),
+      |      COALESCE((SELECT $S || l || r || $S FROM b$k), chr(2))) AS rep
+      |  FROM d${k - 1})""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id, pre_tokens,
+      |  CAST((strlen(norep) - strlen(replace(norep, $S, ''))) // 2
+      |    AS BIGINT) AS bpe_tokens,
+      |  CAST(strlen(replace(norep, $S, '')) AS BIGINT) AS alpha_chars,
+      |  CAST(CASE WHEN strlen(norep) = strlen(replace(norep, $S, ''))
+      |    THEN 0 ELSE (strlen(replace(norep, $S, '')) * 1000)
+      |      // ((strlen(norep) - strlen(replace(norep, $S, ''))) // 2)
+      |    END AS BIGINT) AS chars_per_token_permille
+      |FROM (SELECT doc_id, pre_tokens, replace(rep, $R, '') AS norep
+      |      FROM d$MergeK)""".stripMargin
     sb.toString
   }
 }

@@ -30,6 +30,32 @@ class BpeMergeSpec extends SparkTestBase {
     assert(got.toSeq == want, s"got ${got.mkString("; ")}")
   }
 
+  test("q52: exact encode on the hand-computed corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-enc").toString
+    Seq((1L, "abab abab abab cd")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // after the 5 merges above, every pretoken is a single token:
+    // [abab] [ abab] [ abab] [ cd] -> 4 tokens over 17 alphabetic chars
+    val got = TextOps.bpeEncode(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 4L, 4L, 17L, 4250L)), r.toString)
+  }
+
+  test("q52: sf0.001 token counts bounded by pretokens and chars") {
+    val rows = TextOps.bpeEncode(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pre, bpe, chars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bpe >= pre && bpe <= chars, r.toString) // merges only shrink
+    }
+    // the trained merges must actually compress: strictly fewer tokens
+    // than characters corpus-wide
+    assert(rows.map(_.getLong(2)).sum < rows.map(_.getLong(3)).sum)
+  }
+
   test("q51: sf0.001 yields K merges with non-increasing pair counts") {
     // merging the argmax pair can only remove occurrences of other pairs
     // and create pairs no more frequent than the merged one, so the
