@@ -124,6 +124,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("n_chars") && !p.contains("source"), p.take(800))
   }
 
+  test("q52 BPE encode: after training, one no-shuffle codegen'd scan " +
+       "pruned to doc_id+text — merges ride as literals, no join") {
+    val p = planOf(TextOps.bpeEncode(spark, dir))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("doc_id") && p.contains("text"), p.take(400))
+    assert(!p.contains("lang") && !p.contains("source"), p.take(800))
+  }
+
   test("q37 k-means: centroids broadcast (never a corpus shuffle for the " +
        "assignment), argmin is a partial-combining min — no SortAggregate, " +
        "no CartesianProduct") {
