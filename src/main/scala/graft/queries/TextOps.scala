@@ -158,8 +158,12 @@ object TextOps {
     * dedup group-by, keyed on the 32-hex content hash (map-side combine,
     * uniform key space — no skew). Emits survivors only: downstream
     * training jobs read this manifest, not the raw corpus. */
-  def corpusClean(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  /** The per-row half of q25, shared with the streaming ingest twin
+    * (streaming/DocStream.ingest): (doc_id, lang, source, text) →
+    * content hash + language guess + quality verdict. Pure codegen'd
+    * projection — no shuffle, usable on a micro-batch unchanged. */
+  private[graft] def cleanFeatures(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), col("lang"), col("source"),
         substring(sha2(col("text"), 256), 1, 32).as("text_hash"),
         split(col("text"), " ").as("toks"))
@@ -169,10 +173,6 @@ object TextOps {
         hits("toks", en).as("en_hits"),
         hits("toks", de).as("de_hits"),
         hits("toks", es).as("es_hits"))
-    val survivors = d.groupBy("text_hash")
-      .agg(min(col("doc_id")).as("doc_id"),
-        count(lit(1)).as("dup_cnt"))
-    d.join(survivors, Seq("text_hash", "doc_id"))
       .withColumn("guess",
         when(col("en_hits") > col("de_hits") &&
              col("en_hits") > col("es_hits"), "en")
@@ -185,6 +185,13 @@ object TextOps {
       .withColumn("keep",
         (col("guess") =!= "und" && col("ttr_permille") >= 200 &&
           col("n_tokens") >= 8).cast("int"))
+
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val d = cleanFeatures(docs(s, dir))
+    val survivors = d.groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("dup_cnt"))
+    d.join(survivors, Seq("text_hash", "doc_id"))
       .select("doc_id", "lang", "source", "text_hash", "dup_cnt",
         "n_tokens", "ttr_permille", "guess", "keep")
   }
