@@ -75,6 +75,9 @@ object SparkEntry {
     "q50_len_quantiles" -> (CorpusOps.lenQuantiles _),
     "q51_bpe_merges"    -> (TextOps.bpeMerges _),
     "q52_bpe_encode"    -> (TextOps.bpeEncode _),
+    "q53_pagerank"      -> (GraphOps.pageRank _),
+    "q54_tfidf_terms"   -> (TextOps.tfidfTopTerms _),
+    "q55_triangles"     -> (GraphOps.triangles _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -146,6 +149,9 @@ object SparkEntry {
     "q50_len_quantiles" -> CorpusOps.lenQuantilesSql,
     "q51_bpe_merges"    -> TextOps.bpeMergesSql,
     "q52_bpe_encode"    -> TextOps.bpeEncodeSql,
+    "q53_pagerank"      -> GraphOps.pageRankSql,
+    "q54_tfidf_terms"   -> TextOps.tfidfTopTermsSql,
+    "q55_triangles"     -> GraphOps.trianglesSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

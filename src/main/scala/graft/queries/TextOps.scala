@@ -360,6 +360,64 @@ object TextOps {
       |  ON o.tok = r.tok
       |GROUP BY o.doc_id""".stripMargin
 
+  /** q54: TF-IDF distinctive terms — each document's top-3 tokens by
+    * exact-integer tf·idf, the per-doc keyword profile retrieval systems
+    * and topic filters read off the q42 vocabulary. idf_u =
+    * (n_docs·10^6) div df (rarer ⇒ larger), score_u = tf·idf_u; ties
+    * broken lexicographically by token so both engines pick identical
+    * rows under a total order (the q50 exact-rank recipe).
+    *
+    * Scale shape: tf is a (doc_id, tok) groupBy with map-side combine —
+    * the shuffle carries distinct doc×token pairs, never raw occurrences;
+    * the idf side is the vocabulary-bounded q42 table, broadcast here
+    * (still a vocab-bounded equi-join if a web-scale vocabulary ever
+    * outgrew a broadcast); the top-3 window re-shuffles only the compact
+    * (doc, tok, tf) triples on doc_id. No corpus-sized sort anywhere. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val total = d.agg(count(lit(1)).cast("long").as("n_docs"))
+    val idf = d
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), expr("(n_docs * 1000000) div df").as("idf_u"))
+    val tf = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("long").as("tf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_u").desc, col("tok"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .withColumn("score_u", col("tf") * col("idf_u"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"),
+        col("score_u"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH idf AS (
+      |  SELECT tok, (n_docs * 1000000) // df AS idf_u
+      |  FROM (
+      |    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      |    FROM (SELECT unnest(list_distinct(string_split(text, ' ')))
+      |            AS tok
+      |          FROM documents)
+      |    GROUP BY tok),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok)
+      |SELECT doc_id, rk, tok, tf, score_u FROM (
+      |  SELECT t.doc_id, t.tok, t.tf,
+      |    t.tf * i.idf_u AS score_u,
+      |    CAST(row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY t.tf * i.idf_u DESC, t.tok) AS BIGINT) AS rk
+      |  FROM tf t JOIN idf i ON t.tok = i.tok)
+      |WHERE rk <= 3""".stripMargin
+
   // -------------------------------------------------------------------
   // q49: PII detect + redact — construct→scan round trip. The synthetic
   // corpus is PII-free by construction (no digit/@/+ ever appears in

@@ -257,6 +257,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("text"), p.take(1200))
   }
 
+  test("q54 tf-idf terms: idf vocabulary broadcast into the tf stream — " +
+       "no SortMergeJoin on tok, no CartesianProduct, tf group-by " +
+       "combines map-side, only text read") {
+    val p = planOf(TextOps.tfidfTopTerms(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("n_chars") && !p.contains("lang"), p.take(1200))
+  }
+
+  test("q55 triangles: every join is a key-partitioned equi-join — no " +
+       "CartesianProduct, no BroadcastNestedLoopJoin; per-node rollup " +
+       "combines map-side") {
+    val p = planOf(GraphOps.triangles(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+    // only doc_id feeds the graph — text/lang never read
+    assert(!p.contains("text") && !p.contains("lang"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
