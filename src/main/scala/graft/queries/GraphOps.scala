@@ -52,19 +52,21 @@ object GraphOps {
         lit(1), (col("doc_id") % 3 + 1).cast("int"))).as("dst"))
       .persist() // consumed by one action per iteration
     var ranks = d.select(col("doc_id"), lit(1000000L).as("rank_u"))
-    for (_ <- 1 to PrIters) {
+    for (k <- 1 to PrIters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst"),
           expr("rank_u div (src % 3 + 1)").as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
-      ranks = d
+      val next = d
         .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"),
           "left")
         .select(col("doc_id"),
           (lit(150000L) + expr("(850 * coalesce(in_mass, 0L)) div 1000"))
             .as("rank_u"))
-        .localCheckpoint(false)
+      // truncate the plan each round (the q18/q37 lesson) — except the
+      // last, which the caller consumes once and may want to inspect
+      ranks = if (k < PrIters) next.localCheckpoint(false) else next
     }
     ranks
   }
