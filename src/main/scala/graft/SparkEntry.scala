@@ -78,6 +78,8 @@ object SparkEntry {
     "q53_pagerank"      -> (GraphOps.pageRank _),
     "q54_tfidf_terms"   -> (TextOps.tfidfTopTerms _),
     "q55_triangles"     -> (GraphOps.triangles _),
+    "q56_hits"          -> (GraphOps.hits _),
+    "q57_host_graph"    -> (GraphOps.hostGraph _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -152,6 +154,8 @@ object SparkEntry {
     "q53_pagerank"      -> GraphOps.pageRankSql,
     "q54_tfidf_terms"   -> TextOps.tfidfTopTermsSql,
     "q55_triangles"     -> GraphOps.trianglesSql,
+    "q56_hits"          -> GraphOps.hitsSql,
+    "q57_host_graph"    -> GraphOps.hostGraphSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -160,6 +160,157 @@ object GraphOps {
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
   }
 
+  /** Distinct, self-loop-free directed modular edges — the simple-graph
+    * edge set q56/q57 operate on (q53 deliberately keeps the raw
+    * multi-set: PageRank mass splits by out-degree either way). */
+  private def simpleEdges(d: DataFrame, n: Long): DataFrame =
+    d.select(col("doc_id").as("src"),
+        explode(slice(array(
+          (col("doc_id") * 7 + 1) % n,
+          (col("doc_id") * 13 + 2) % n,
+          (col("doc_id") * 31 + 3) % n),
+          lit(1), (col("doc_id") % 3 + 1).cast("int"))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private val HitsIters = 4
+
+  /** q56: HITS hubs & authorities over the directed doc link graph —
+    * the link-analysis complement of q53 (PageRank scores a page's
+    * random-surfer mass; HITS separates pages that POINT AT good
+    * content from pages that ARE good content). Exact-integer
+    * fixpoint: score space is µ-units in [0, 10^6]; each half-step
+    * sums the opposite score over in-/out-edges and renormalizes by
+    * the global max via floor division — both engines replay the K=4
+    * iterations bit-for-bit.
+    *
+    * Scale shape (the q37 Lloyd recipe): per half-step ONE equi-join
+    * edges⋈scores + a map-side-combined groupBy + a dangling left
+    * join; the raw-score table is lazily localCheckpoint'ed and its
+    * single driver-read scalar (the max) comes from that same
+    * materialization, so each iteration costs exactly two counting
+    * jobs and plans never nest. Edges persisted once. */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id")).persist()
+    val n = d.count()
+    val e = simpleEdges(d, n).persist()
+    var h = d.select(col("doc_id"), lit(1000000L).as("hub"))
+    var a: DataFrame = null
+    for (k <- 1 to HitsIters) {
+      val araw = d.join(
+          e.join(h.select(col("doc_id").as("src"), col("hub")), Seq("src"))
+            .groupBy(col("dst").as("doc_id"))
+            .agg(sum("hub").as("m")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("m"), lit(0L)).as("araw"))
+        .localCheckpoint(false)
+      val amx = araw.agg(max("araw")).head.getLong(0)
+      a = araw.select(col("doc_id"),
+        expr(s"(araw * 1000000) div ${amx}L").as("auth"))
+      val hraw = d.join(
+          e.join(a.select(col("doc_id").as("dst"), col("auth")), Seq("dst"))
+            .groupBy(col("src").as("doc_id"))
+            .agg(sum("auth").as("m")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("m"), lit(0L)).as("hraw"))
+        .localCheckpoint(false)
+      val hmx = hraw.agg(max("hraw")).head.getLong(0)
+      h = hraw.select(col("doc_id"),
+        expr(s"(hraw * 1000000) div ${hmx}L").as("hub"))
+    }
+    h.join(a, Seq("doc_id"))
+      .select(col("doc_id"), col("hub").as("hub_u"), col("auth").as("auth_u"))
+  }
+
+  val hitsSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+      |            FROM documents),
+      |de AS (SELECT doc_id AS src,
+      |         unnest(list_filter(([
+      |           (doc_id * 7 + 1) % n, (doc_id * 13 + 2) % n,
+      |           (doc_id * 31 + 3) % n])[1:CAST(doc_id % 3 + 1 AS INT)],
+      |           x -> x <> doc_id)) AS dst
+      |       FROM documents, nn),
+      |e AS (SELECT DISTINCT src, dst FROM de),
+      |h0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS hub
+      |       FROM documents)""".stripMargin
+    for (k <- 1 to HitsIters) {
+      sb ++= s""",
+      |ar$k AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS araw
+      |        FROM documents d LEFT JOIN (
+      |          SELECT e.dst AS doc_id, CAST(SUM(h.hub) AS BIGINT) AS m
+      |          FROM e JOIN h${k - 1} h ON e.src = h.doc_id
+      |          GROUP BY e.dst) s ON d.doc_id = s.doc_id),
+      |a$k AS (SELECT doc_id, (araw * 1000000) // mx AS auth
+      |       FROM ar$k, (SELECT MAX(araw) AS mx FROM ar$k)),
+      |hr$k AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS hraw
+      |        FROM documents d LEFT JOIN (
+      |          SELECT e.src AS doc_id, CAST(SUM(a.auth) AS BIGINT) AS m
+      |          FROM e JOIN a$k a ON e.dst = a.doc_id
+      |          GROUP BY e.src) s ON d.doc_id = s.doc_id),
+      |h$k AS (SELECT doc_id, (hraw * 1000000) // mx AS hub
+      |       FROM hr$k, (SELECT MAX(hraw) AS mx FROM hr$k))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT h.doc_id, h.hub AS hub_u, a.auth AS auth_u
+      |FROM h$HitsIters h JOIN a$HitsIters a ON h.doc_id = a.doc_id"""
+      .stripMargin
+    sb.toString
+  }
+
+  /** q57: host-graph contraction — collapse the doc link graph onto the
+    * `source` dimension (the host/site rollup a crawl's outlink harvest
+    * feeds: which sites cite which, how often, and how mutually). Per
+    * directed source pair: distinct doc-edge count, reciprocated-edge
+    * count (the reverse doc edge also exists — mutual-link rate
+    * separates organic citation from link exchanges), and distinct
+    * citing docs.
+    *
+    * Scale shape: the doc→host mapping joins are shuffle equi-joins on
+    * doc id (the standard dimension join; AQE picks broadcast when the
+    * doc table is small enough); reciprocity is ONE self equi-join of
+    * the distinct edge set on the reversed key — never an all-pairs
+    * expansion; the final rollup is host-pair-bounded with map-side
+    * combine. */
+  def hostGraph(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source")).persist()
+    val n = d.count()
+    val e = simpleEdges(d.select(col("doc_id")), n).persist()
+    val marked = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst"),
+          lit(1L).as("r")), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("r"), lit(0L)).as("is_recip"))
+    marked
+      .join(d.select(col("doc_id").as("src"), col("source").as("s_src")),
+        Seq("src"))
+      .join(d.select(col("doc_id").as("dst"), col("source").as("s_dst")),
+        Seq("dst"))
+      .groupBy("s_src", "s_dst")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        sum("is_recip").cast("long").as("n_recip"),
+        countDistinct(col("src")).cast("long").as("n_src_docs"))
+  }
+
+  val hostGraphSql: String =
+    """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |de AS (SELECT doc_id AS src,
+      |         unnest(list_filter(([
+      |           (doc_id * 7 + 1) % n, (doc_id * 13 + 2) % n,
+      |           (doc_id * 31 + 3) % n])[1:CAST(doc_id % 3 + 1 AS INT)],
+      |           x -> x <> doc_id)) AS dst
+      |       FROM documents, nn),
+      |e AS (SELECT DISTINCT src, dst FROM de),
+      |em AS (SELECT e.src, e.dst,
+      |         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS is_recip
+      |       FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src)
+      |SELECT d1.source AS s_src, d2.source AS s_dst,
+      |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |  CAST(SUM(is_recip) AS BIGINT) AS n_recip,
+      |  CAST(COUNT(DISTINCT em.src) AS BIGINT) AS n_src_docs
+      |FROM em
+      |JOIN documents d1 ON em.src = d1.doc_id
+      |JOIN documents d2 ON em.dst = d2.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   val trianglesSql: String =
     """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
       |de AS (SELECT doc_id AS src,

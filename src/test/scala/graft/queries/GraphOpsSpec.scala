@@ -82,6 +82,70 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  /** Straight-line HITS: same exact-integer max-renormalized recurrence
+    * over the distinct self-loop-free edge set. */
+  private def refHits(n: Int, iters: Int): (Array[Long], Array[Long]) = {
+    val edges = (0 until n).flatMap { s =>
+      Seq((7 * s + 1) % n, (13 * s + 2) % n, (31 * s + 3) % n)
+        .take(s % 3 + 1).filter(_ != s).map(d => (s, d))
+    }.distinct
+    var h = Array.fill(n)(1000000L)
+    var a = Array.fill(n)(0L)
+    for (_ <- 1 to iters) {
+      val araw = Array.fill(n)(0L)
+      edges.foreach { case (s, d) => araw(d) += h(s) }
+      val amx = araw.max
+      a = araw.map(x => x * 1000000L / amx)
+      val hraw = Array.fill(n)(0L)
+      edges.foreach { case (s, d) => hraw(s) += a(d) }
+      val hmx = hraw.max
+      h = hraw.map(x => x * 1000000L / hmx)
+    }
+    (h, a)
+  }
+
+  test("q56: hub and authority scores match the reference loop exactly " +
+       "on the full sf0.001 graph (n=500)") {
+    val (wantH, wantA) = refHits(500, 4)
+    val got = GraphOps.hits(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 500)
+    (0 until 500).foreach { i =>
+      assert(got(i.toLong) == ((wantH(i), wantA(i))),
+        s"node $i: ${got(i.toLong)} vs ${(wantH(i), wantA(i))}")
+    }
+    // normalization invariant: scores live in [0, 1e6] and the max hits it
+    assert(got.values.forall { case (h, a) =>
+      h >= 0 && h <= 1000000L && a >= 0 && a <= 1000000L })
+    assert(got.values.map(_._1).max == 1000000L)
+    assert(got.values.map(_._2).max == 1000000L)
+  }
+
+  test("q57: host-graph contraction matches an in-memory rollup of the " +
+       "same edges + source mapping") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = d.size
+    val edges = (0 until n).flatMap { s =>
+      Seq((7 * s + 1) % n, (13 * s + 2) % n, (31 * s + 3) % n)
+        .take(s % 3 + 1).filter(_ != s).map(dd => (s, dd))
+    }.distinct
+    val eset = edges.toSet
+    val want = edges.groupBy { case (s, dd) => (d(s.toLong), d(dd.toLong)) }
+      .map { case (k, es) =>
+        k -> ((es.size.toLong,
+          es.count { case (s, dd) => eset.contains((dd, s)) }.toLong,
+          es.map(_._1).distinct.size.toLong))
+      }
+    val got = GraphOps.hostGraph(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
+  }
+
   test("q55: tiny fixture — degree-ordered enumeration finds exactly the " +
        "hand-checkable triangles of a 5-node graph") {
     val n = 5
