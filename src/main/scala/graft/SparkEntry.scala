@@ -80,6 +80,8 @@ object SparkEntry {
     "q55_triangles"     -> (GraphOps.triangles _),
     "q56_hits"          -> (GraphOps.hits _),
     "q57_host_graph"    -> (GraphOps.hostGraph _),
+    "q58_mix_rebalance" -> (CorpusOps.mixtureRebalance _),
+    "q59_source_quota"  -> (CorpusOps.sourceQuota _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -156,6 +158,8 @@ object SparkEntry {
     "q55_triangles"     -> GraphOps.trianglesSql,
     "q56_hits"          -> GraphOps.hitsSql,
     "q57_host_graph"    -> GraphOps.hostGraphSql,
+    "q58_mix_rebalance" -> CorpusOps.mixtureRebalanceSql,
+    "q59_source_quota"  -> CorpusOps.sourceQuotaSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

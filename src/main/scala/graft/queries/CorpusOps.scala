@@ -132,6 +132,83 @@ object CorpusOps {
       |FROM (SELECT doc_id, sha256('shuf:' || doc_id) AS skey
       |      FROM documents)""".stripMargin
 
+  /** q58: mixture rebalancing — q28 samples at GIVEN rates; this op
+    * COMPUTES them: per-language keep rates (exact permille, capped at
+    * 1000) that move the corpus toward a uniform 20%-per-language
+    * target mix, then applies the same deterministic hash-bucket rule.
+    * rate‰ = min(1000, (200·n_total) div cnt) — over-represented
+    * languages are down-sampled toward target, under-represented ones
+    * keep everything. The DoReMi/data-mixture step every multi-lingual
+    * pipeline runs before training.
+    *
+    * Scale shape: the rate table is one language-bounded aggregate,
+    * broadcast back; the keep decision is a per-row hash — zero corpus
+    * shuffle end-to-end. */
+  def mixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val total = d.agg(count(lit(1)).cast("long").as("n_total"))
+    val rates = d.groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("lang"),
+        least(lit(1000L), expr("(200 * n_total) div cnt"))
+          .as("rate_permille"))
+    d.select(col("doc_id"), col("lang"),
+        (conv(substring(sha2(concat(lit("mix:"),
+            col("doc_id").cast("string")), 256), 1, 8), 16, 10)
+          .cast("long") % 1000).as("bucket"))
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("kept",
+        when(col("bucket") < col("rate_permille"), 1).otherwise(0))
+      .select("doc_id", "lang", "bucket", "rate_permille", "kept")
+  }
+
+  val mixtureRebalanceSql: String =
+    """WITH r AS (
+      |  SELECT lang,
+      |    LEAST(CAST(1000 AS BIGINT), (200 * n_total) // cnt)
+      |      AS rate_permille
+      |  FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM documents GROUP BY lang),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents))
+      |SELECT d.doc_id, d.lang,
+      |  (('0x' || substr(sha256('mix:' || doc_id), 1, 8))::BIGINT % 1000)
+      |    AS bucket,
+      |  r.rate_permille,
+      |  CASE WHEN (('0x' || substr(sha256('mix:' || doc_id), 1, 8))::BIGINT
+      |    % 1000) < r.rate_permille THEN 1 ELSE 0 END AS kept
+      |FROM documents d JOIN r USING (lang)""".stripMargin
+
+  /** q59: per-source quota cap — keep at most 20 docs per source, the
+    * Gopher/MassiveText per-domain cap that stops one boilerplate-heavy
+    * site from dominating the corpus. Survivor priority is a
+    * deterministic per-doc hash (reproducible across engines and runs),
+    * slot = rank within the source.
+    *
+    * Scale shape: the `slot <= 20` rank filter triggers Spark's
+    * WindowGroupLimit pushdown — each map task pre-prunes to its local
+    * top-20 per source BEFORE the shuffle, so the exchange carries
+    * O(sources × 20 × tasks), not the corpus (pinned in PlanSpec). */
+  def sourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"), col("source"),
+      sha2(concat(lit("quota:"), col("doc_id").cast("string")), 256)
+        .as("qkey"))
+    keyed.withColumn("slot",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("qkey"), col("doc_id"))).cast("long"))
+      .filter(col("slot") <= 20)
+      .select("doc_id", "source", "slot")
+  }
+
+  val sourceQuotaSql: String =
+    """SELECT doc_id, source, slot FROM (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY sha256('quota:' || doc_id), doc_id) AS BIGINT)
+      |      AS slot
+      |  FROM documents)
+      |WHERE slot <= 20""".stripMargin
+
   /** q19: final-corpus materialization — the capstone that chains the
     * pipeline: q25's clean gate (exact-dedup survivor + lang-ID'd +
     * type-token ratio + length) minus q27's contaminated set. This is the

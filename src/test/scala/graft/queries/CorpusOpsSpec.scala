@@ -21,6 +21,51 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q58: rates move every language toward the 20% target — " +
+       "over-represented down-sampled, under-represented kept whole; " +
+       "kept == (bucket < rate) everywhere") {
+    val rows = CorpusOps.mixtureRebalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(rows.length == 500)
+    val cnt = rows.groupBy(_._2).map { case (l, rs) => l -> rs.length }
+    rows.foreach { case (id, lang, bucket, rate, kept) =>
+      // the rate is exactly min(1000, (200 * n) div cnt_lang)
+      val want = math.min(1000L, 200L * 500L / cnt(lang))
+      assert(rate == want, s"doc $id lang $lang: rate $rate vs $want")
+      assert(kept == (if (bucket < rate) 1 else 0), s"doc $id")
+    }
+    // en is over-represented (193/500 > 20%) → down-sampled;
+    // de (71/500 < 20%) → kept whole
+    assert(rows.find(_._2 == "en").get._4 < 1000L)
+    assert(rows.find(_._2 == "de").get._4 == 1000L)
+  }
+
+  test("q59: at most 20 docs per source survive, slots are contiguous " +
+       "1..k in hash-priority order") {
+    val rows = CorpusOps.sourceQuota(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.size == 20) // every source keeps something
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length <= 20, s"$src kept ${rs.length}")
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, src)
+    }
+    // every source has 25 docs in the fixture → the cap binds everywhere
+    assert(rows.length == 20 * 20)
+    // priority is the deterministic hash order: the survivor set equals
+    // the 20 lowest sha256("quota:"+id) of each source
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        sha2(concat(lit("quota:"), col("doc_id").cast("string")), 256)
+          .as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val wantKept = all.groupBy(_._2).values.flatMap { rs =>
+      rs.sortBy(r => (r._3, r._1)).take(20).map(_._1)
+    }.toSet
+    assert(rows.map(_._1).toSet == wantKept)
+  }
+
   test("q28: sample = exactly the rows whose hash bucket clears the " +
        "per-language rate") {
     val sample = CorpusOps.stratifiedSample(spark, dir)

@@ -279,6 +279,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("text") && !p.contains("lang"), p.take(1200))
   }
 
+  test("q58 mixture rebalance: the rate table broadcasts back into a " +
+       "pure per-row scan — no SortMergeJoin, no corpus shuffle for the " +
+       "keep decision") {
+    val p = planOf(CorpusOps.mixtureRebalance(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the corpus side reaches the join straight from the scan: the only
+    // hashpartitioning exchange is the tiny lang-count aggregate's
+    assert("hashpartitioning\\(lang".r.findAllIn(p).size <= 1, p)
+    assert(!"hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q59 source quota: the slot<=20 rank filter pushes down as " +
+       "WindowGroupLimit — map tasks pre-prune to local top-20 before " +
+       "the shuffle") {
+    val p = planOf(CorpusOps.sourceQuota(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("text"), p.take(1200)) // scan pruned
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
