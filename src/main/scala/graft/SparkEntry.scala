@@ -82,6 +82,7 @@ object SparkEntry {
     "q57_host_graph"    -> (GraphOps.hostGraph _),
     "q58_mix_rebalance" -> (CorpusOps.mixtureRebalance _),
     "q59_source_quota"  -> (CorpusOps.sourceQuota _),
+    "q60_kmv_distinct"  -> (CorpusOps.kmvDistinct _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q57_host_graph"    -> GraphOps.hostGraphSql,
     "q58_mix_rebalance" -> CorpusOps.mixtureRebalanceSql,
     "q59_source_quota"  -> CorpusOps.sourceQuotaSql,
+    "q60_kmv_distinct"  -> CorpusOps.kmvDistinctSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -209,6 +209,71 @@ object CorpusOps {
       |  FROM documents)
       |WHERE slot <= 20""".stripMargin
 
+  /** q60: KMV distinct-cardinality sketch audit — per-source distinct-
+    * token estimate via k-minimum-values (k=64 smallest 40-bit token
+    * hashes; E = (k−1)·2^40 div kth-min) beside the exact count and the
+    * error in ppm. HLL-style sketches can't be oracle-checked (engine
+    * implementations differ); KMV is DETERMINISTIC given the hash, so
+    * both engines produce bit-identical estimates — a sketch whose
+    * accuracy the correctness gate itself audits.
+    *
+    * Scale shape: exactly how a distributed KMV runs — the rn<=k rank
+    * filter lowers to WindowGroupLimit, so each map task pre-prunes to
+    * its local k smallest hashes per source and the shuffle carries
+    * O(sources·k·tasks), never the token stream; the exact count (the
+    * audit side) is the usual two-level distinct aggregate. Sources
+    * with <k distinct hashes fall back to their exact count, the
+    * standard small-set rule. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val st = docs(s, dir)
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct()
+    val exact = st.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    val hashed = st.select(col("source"),
+        conv(substring(sha2(concat(lit("kmv:"), col("tok")), 256), 1, 10),
+          16, 10).cast("long").as("h"))
+      .distinct() // hash collisions collapse identically in both engines
+    val ranked = hashed.withColumn("rn",
+        row_number().over(Window.partitionBy("source").orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val kth = ranked.groupBy("source")
+      .agg(max(when(col("rn") === k, col("h"))).as("kth"))
+    exact.join(kth, Seq("source"))
+      .select(col("source"), col("n_exact"),
+        when(col("kth").isNull, col("n_exact"))
+          .otherwise(expr(s"(${k - 1} * 1099511627776L) div kth"))
+          .as("n_kmv"))
+      .withColumn("err_ppm",
+        expr("(abs(n_kmv - n_exact) * 1000000) div n_exact"))
+  }
+
+  val kmvDistinctSql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, tok
+      |  FROM (SELECT source, unnest(list_distinct(string_split(text, ' ')))
+      |          AS tok
+      |        FROM documents)),
+      |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |       FROM st GROUP BY source),
+      |sh AS (SELECT DISTINCT source,
+      |         ('0x' || substr(sha256('kmv:' || tok), 1, 10))::BIGINT AS h
+      |       FROM st),
+      |rk AS (SELECT source, h,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      |       FROM sh),
+      |kt AS (SELECT source, MAX(CASE WHEN rn = 64 THEN h END) AS kth
+      |       FROM rk WHERE rn <= 64 GROUP BY source)
+      |SELECT e.source, e.n_exact,
+      |  CAST(CASE WHEN k.kth IS NULL THEN e.n_exact
+      |    ELSE (63 * 1099511627776) // k.kth END AS BIGINT) AS n_kmv,
+      |  (ABS(CAST(CASE WHEN k.kth IS NULL THEN e.n_exact
+      |     ELSE (63 * 1099511627776) // k.kth END AS BIGINT) - e.n_exact)
+      |   * 1000000) // e.n_exact AS err_ppm
+      |FROM ex e JOIN kt k USING (source)""".stripMargin
+
   /** q19: final-corpus materialization — the capstone that chains the
     * pipeline: q25's clean gate (exact-dedup survivor + lang-ID'd +
     * type-token ratio + length) minus q27's contaminated set. This is the

@@ -66,6 +66,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet == wantKept)
   }
 
+  test("q60: KMV estimates match a straight-line reference sketch " +
+       "exactly, and the estimator is actually accurate") {
+    import java.security.MessageDigest
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def h40(tok: String): Long = {
+      val md = MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(("kmv:" + tok).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    val bySrc = d.groupBy(_._1).map { case (src, rows) =>
+      val toks = rows.flatMap(_._2.split(" ")).distinct
+      val hs = toks.map(h40).distinct.sorted
+      val nExact = toks.length.toLong
+      val nKmv = if (hs.length < 64) nExact
+                 else 63L * 1099511627776L / hs(63)
+      src -> ((nExact, nKmv, math.abs(nKmv - nExact) * 1000000L / nExact))
+    }
+    val got = CorpusOps.kmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == bySrc, s"first diff: ${
+      (got.toSet diff bySrc.toSet).take(2)} vs ${
+      (bySrc.toSet diff got.toSet).take(2)}")
+    // k=64 gives ~12.7% standard error: demand every source lands
+    // within 50% and the median within 25%
+    val errs = got.values.map(_._3).toSeq.sorted
+    assert(errs.last < 500000L, errs.toString)
+    assert(errs(errs.length / 2) < 250000L, errs.toString)
+  }
+
   test("q28: sample = exactly the rows whose hash bucket clears the " +
        "per-language rate") {
     val sample = CorpusOps.stratifiedSample(spark, dir)

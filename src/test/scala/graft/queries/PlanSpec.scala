@@ -300,6 +300,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("text"), p.take(1200)) // scan pruned
   }
 
+  test("q60 KMV sketch: the k-min selection prunes pre-shuffle via " +
+       "WindowGroupLimit; no CartesianProduct; distinct aggregates " +
+       "combine map-side") {
+    val p = planOf(CorpusOps.kmvDistinct(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
