@@ -83,6 +83,7 @@ object SparkEntry {
     "q58_mix_rebalance" -> (CorpusOps.mixtureRebalance _),
     "q59_source_quota"  -> (CorpusOps.sourceQuota _),
     "q60_kmv_distinct"  -> (CorpusOps.kmvDistinct _),
+    "q61_cms_heavy"     -> (TextOps.cmsHeavyHitters _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "q58_mix_rebalance" -> CorpusOps.mixtureRebalanceSql,
     "q59_source_quota"  -> CorpusOps.sourceQuotaSql,
     "q60_kmv_distinct"  -> CorpusOps.kmvDistinctSql,
+    "q61_cms_heavy"     -> TextOps.cmsHeavyHittersSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -418,6 +418,65 @@ object TextOps {
       |  FROM tf t JOIN idf i ON t.tok = i.tok)
       |WHERE rk <= 3""".stripMargin
 
+  /** q61: Count-Min heavy hitters — the frequency-sketch complement of
+    * q60's KMV cardinality sketch: a d=4 × w=256 CMS over all token
+    * occurrences, audited against the exact top-20 tokens (estimate =
+    * min over the 4 rows; CMS never underestimates, so over_ppm
+    * quantifies collision inflation). Like KMV, CMS is deterministic
+    * given its hashes — both engines build the identical table and
+    * return bit-identical estimates, so the oracle audits the sketch.
+    *
+    * Scale shape: the sketch build is a map-side-combined groupBy on
+    * (row, bucket) — the shuffle carries at most d·w = 1024 cells per
+    * map task regardless of corpus size (the point of a CMS); the
+    * exact side is the q42-style vocab-bounded aggregate with a
+    * TakeOrdered top-20 (never a global sort); probes join the tiny
+    * broadcast sketch. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def bucket(r: Int, c: Column): Column =
+      conv(substring(sha2(concat(lit(s"$r:"), c), 256), 1, 8), 16, 10)
+        .cast("long") % 256
+    val occ = docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
+    val cms = occ
+      .select(posexplode(array((0 to 3).map(r => bucket(r, col("tok"))): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).cast("long").as("c"))
+    val top = occ.groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+    top
+      .select(col("tok"), col("cnt"),
+        posexplode(array((0 to 3).map(r => bucket(r, col("tok"))): _*))
+          .as(Seq("r", "bucket")))
+      .join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy("tok", "cnt").agg(min("c").as("cms_est"))
+      .withColumn("over_ppm", expr("((cms_est - cnt) * 1000000) div cnt"))
+  }
+
+  val cmsHeavyHittersSql: String =
+    """WITH occ AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cms AS (
+      |  SELECT t.r,
+      |    ('0x' || substr(sha256(t.r || ':' || tok), 1, 8))::BIGINT % 256
+      |      AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM occ, range(0, 4) t(r)
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM occ GROUP BY tok
+      |  ORDER BY cnt DESC, tok LIMIT 20),
+      |probe AS (
+      |  SELECT tok, cnt, t.r,
+      |    ('0x' || substr(sha256(t.r || ':' || tok), 1, 8))::BIGINT % 256
+      |      AS bucket
+      |  FROM top, range(0, 4) t(r))
+      |SELECT p.tok, p.cnt, CAST(MIN(c.c) AS BIGINT) AS cms_est,
+      |  ((CAST(MIN(c.c) AS BIGINT) - p.cnt) * 1000000) // p.cnt AS over_ppm
+      |FROM probe p JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
+      |GROUP BY p.tok, p.cnt""".stripMargin
+
   // -------------------------------------------------------------------
   // q49: PII detect + redact — construct→scan round trip. The synthetic
   // corpus is PII-free by construction (no digit/@/+ ever appears in

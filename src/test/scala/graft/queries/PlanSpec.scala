@@ -309,6 +309,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), p.take(1200))
   }
 
+  test("q61 CMS heavy hitters: top-20 is a TakeOrdered (no global sort), " +
+       "the sketch broadcasts into the probes, aggregates combine " +
+       "map-side") {
+    val p = planOf(TextOps.cmsHeavyHitters(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("rangepartitioning"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper

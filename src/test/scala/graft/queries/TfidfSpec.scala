@@ -33,6 +33,37 @@ class TfidfSpec extends SparkTestBase {
     assert(got == want, got.toString)
   }
 
+  test("q61: CMS heavy hitters match a straight-line reference sketch " +
+       "exactly — same table, same estimates, never an underestimate") {
+    import java.security.MessageDigest
+    val texts = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    def bkt(r: Int, tok: String): Int = {
+      val md = MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$r:$tok".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % 256).toInt
+    }
+    val occ = texts.flatMap(_.split(" "))
+    val cms = Array.fill(4, 256)(0L)
+    occ.foreach(t => (0 to 3).foreach(r => cms(r)(bkt(r, t)) += 1))
+    val cnt = occ.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val top = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val want = top.map { case (t, c) =>
+      val est = (0 to 3).map(r => cms(r)(bkt(r, t))).min
+      t -> ((c, est, (est - c) * 1000000L / c))
+    }.toMap
+    val got = TextOps.cmsHeavyHitters(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"first diff: ${(got.toSet diff want.toSet).take(2)}")
+    got.values.foreach { case (c, est, over) =>
+      assert(est >= c && over >= 0, s"CMS underestimated: $c vs $est")
+    }
+  }
+
   test("q54: sf0.001 invariants — <=3 rows per doc, ranks contiguous " +
        "from 1, scores non-increasing within a doc") {
     val rows = TextOps.tfidfTopTerms(spark, "/root/testdata/sf0.001")
