@@ -84,6 +84,8 @@ object SparkEntry {
     "q59_source_quota"  -> (CorpusOps.sourceQuota _),
     "q60_kmv_distinct"  -> (CorpusOps.kmvDistinct _),
     "q61_cms_heavy"     -> (TextOps.cmsHeavyHitters _),
+    "q62_seq_packing"   -> (CorpusOps.seqPacking _),
+    "q63_bigram_lift"   -> (TextOps.bigramLift _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -164,6 +166,8 @@ object SparkEntry {
     "q59_source_quota"  -> CorpusOps.sourceQuotaSql,
     "q60_kmv_distinct"  -> CorpusOps.kmvDistinctSql,
     "q61_cms_heavy"     -> TextOps.cmsHeavyHittersSql,
+    "q62_seq_packing"   -> CorpusOps.seqPackingSql,
+    "q63_bigram_lift"   -> TextOps.bigramLiftSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

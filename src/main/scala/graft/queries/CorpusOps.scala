@@ -336,4 +336,75 @@ object CorpusOps {
       |  CAST(MAX(CASE WHEN rn = (cnt-1)*99//100 + 1 THEN n_chars END)
       |    AS BIGINT) AS p99
       |FROM r GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q62: context-window sequence packing — the step between a curated
+  // corpus and a training reader: docs are sharded (q29's hash-bucket
+  // writer shape), concatenated in a deterministic per-shard order, and
+  // chunked into fixed L=128-token sequences (GPT-style concat-and-chunk
+  // packing, where documents may straddle window boundaries). Output =
+  // per-shard packing stats: sequence count, boundary-spanning docs, and
+  // the fill of the final partial window — the numbers a pipeline needs
+  // to size a training run and to audit padding waste.
+  //
+  // Scale shape: ONE exchange on shard feeds both the offset window (the
+  // per-shard cumulative token sum — each shard sorts independently,
+  // nothing orders the corpus globally) and the per-shard rollup, which
+  // reuses the same partitioning. At 10^10 docs each shard is an
+  // independent sort of corpus/256 rows — exactly the cost any shuffled
+  // shard writer pays.
+  // -------------------------------------------------------------------
+
+  def seqPacking(s: SparkSession, dir: String): DataFrame = {
+    val L = 128
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"),
+        sha2(concat(lit("pack:"), col("doc_id").cast("string")), 256)
+          .as("skey"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % 8)
+          .cast("int"))
+      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("spans",
+        when(expr(s"(end_off - n_tok) div $L") =!=
+             expr(s"(end_off - 1) div $L"), 1L).otherwise(0L))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        expr(s"(sum(n_tok) + ${L - 1}) div $L").as("n_seqs"),
+        sum(col("spans")).cast("long").as("spanning_docs"))
+      .withColumn("tail_fill_permille",
+        expr(s"((n_tokens - (n_seqs - 1) * $L) * 1000) div $L"))
+  }
+
+  val seqPackingSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, sha256('pack:' || doc_id) AS skey,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT (('0x' || substr(skey, 1, 8))::BIGINT % 8)::INT AS shard,
+      |    n_tok,
+      |    CAST(SUM(n_tok) OVER (
+      |      PARTITION BY ('0x' || substr(skey, 1, 8))::BIGINT % 8
+      |      ORDER BY skey, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+      |  FROM t),
+      |g AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST((CAST(SUM(n_tok) AS BIGINT) + 127) // 128 AS BIGINT)
+      |      AS n_seqs,
+      |    CAST(SUM(CASE WHEN (end_off - n_tok) // 128
+      |                     != (end_off - 1) // 128
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS spanning_docs
+      |  FROM o GROUP BY shard)
+      |SELECT shard, n_docs, n_tokens, n_seqs, spanning_docs,
+      |  ((n_tokens - (n_seqs - 1) * 128) * 1000) // 128
+      |    AS tail_fill_permille
+      |FROM g""".stripMargin
 }

@@ -477,6 +477,65 @@ object TextOps {
       |FROM probe p JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
       |GROUP BY p.tok, p.cnt""".stripMargin
 
+  /** q63: bigram collocations by lift — the text-analysis complement of
+    * q54's TF-IDF: which adjacent token pairs co-occur more than their
+    * unigram frequencies predict. Score = exact-integer lift in ppm,
+    * lift_ppm = (c12 · N · 10^6) div (c1 · c2) (N = total token
+    * occurrences); PMI is ln(lift), so the ranking is identical without
+    * ever leaving BIGINT. Top-20 with support ≥ 5, ties broken (w1, w2).
+    *
+    * Scale shape: bigram generation is per-row (zip of two slices — no
+    * doc-keyed shuffle, no self-join on position); both count tables are
+    * vocab-bounded group-bys that combine map-side; the unigram table and
+    * the 1-row total broadcast into the bigram stream; top-20 lowers to
+    * TakeOrderedAndProject. At 10^10 docs the only shuffles carry
+    * vocab²-bounded bigram counts, never the corpus. */
+  def bigramLift(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(split(col("text"), " ").as("t"))
+    val occ = toks.select(explode(col("t")).as("tok"))
+    val total = occ.agg(count(lit(1)).cast("long").as("n"))
+    val uni = occ.groupBy("tok").agg(count(lit(1)).cast("long").as("c"))
+    val bi = toks
+      .select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
+      .filter(col("c12") >= 5)
+    bi.join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr("(c12 * n * 1000000) div (c1 * c2)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val bigramLiftSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents),
+      |occ AS (SELECT unnest(t) AS tok FROM toks),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM occ),
+      |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM occ GROUP BY tok),
+      |pairs AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+      |bi AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM pairs GROUP BY w1, w2
+      |  HAVING COUNT(*) >= 5)
+      |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+      |  (b.c12 * n.n * 1000000) // (u1.c * u2.c) AS lift_ppm
+      |FROM bi b
+      |JOIN uni u1 ON b.w1 = u1.tok
+      |JOIN uni u2 ON b.w2 = u2.tok
+      |CROSS JOIN n
+      |ORDER BY lift_ppm DESC, b.w1, b.w2
+      |LIMIT 20""".stripMargin
+
   // -------------------------------------------------------------------
   // q49: PII detect + redact — construct→scan round trip. The synthetic
   // corpus is PII-free by construction (no digit/@/+ ever appears in

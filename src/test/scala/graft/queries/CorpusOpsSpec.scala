@@ -136,6 +136,44 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(bad.count() == 0, bad.collect().mkString(","))
   }
 
+  test("q62: packing stats match a straight-line per-shard replay — " +
+       "concat-and-chunk at L=128, spanning docs counted exactly") {
+    import java.security.MessageDigest
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sha(s: String): String = {
+      val md = MessageDigest.getInstance("SHA-256")
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val keyed = docs.map { case (id, text) =>
+      val k = sha(s"pack:$id")
+      val shard = (java.lang.Long.parseLong(k.take(8), 16) % 8).toInt
+      (shard, k, id, text.split(" ").length.toLong)
+    }
+    val want = keyed.groupBy(_._1).map { case (shard, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      var off = 0L; var spans = 0L
+      ordered.foreach { r =>
+        if ((off / 128) != ((off + r._4 - 1) / 128)) spans += 1
+        off += r._4
+      }
+      val nSeqs = (off + 127) / 128
+      shard -> ((rs.length.toLong, off, nSeqs, spans,
+        (off - (nSeqs - 1) * 128) * 1000 / 128))
+    }
+    val got = CorpusOps.seqPacking(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, (got.toSet diff want.toSet).take(2).toString)
+    // global invariants: every doc lands somewhere, fills are sane
+    assert(got.values.map(_._1).sum == 500L)
+    got.values.foreach { case (nd, nt, ns, sp, fill) =>
+      assert(ns == (nt + 127) / 128 && sp < nd &&
+        fill > 0 && fill <= 1000, (nd, nt, ns, sp, fill).toString)
+    }
+  }
+
   test("q19: final corpus = clean survivors minus contaminated") {
     val fin = CorpusOps.corpusFinal(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -319,6 +319,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1200))
   }
 
+  test("q62 seq packing: ONE shard exchange feeds both the offset window " +
+       "and the rollup; no global ordering anywhere") {
+    val p = planOf(CorpusOps.seqPacking(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+    assert(p.contains("partial_"), p.take(1500))
+  }
+
+  test("q63 bigram lift: unigram table + 1-row total broadcast into the " +
+       "bigram stream — no SortMergeJoin, no CartesianProduct; top-20 is " +
+       "a TakeOrdered") {
+    val p = planOf(TextOps.bigramLift(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper

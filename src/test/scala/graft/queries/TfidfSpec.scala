@@ -64,6 +64,30 @@ class TfidfSpec extends SparkTestBase {
     }
   }
 
+  test("q63: bigram lift matches a straight-line replay — exact-integer " +
+       "lift, support >= 5, top-20 by (lift desc, w1, w2)") {
+    val texts = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val occ = texts.flatMap(_.split(" "))
+    val n = occ.length.toLong
+    val uni = occ.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val bi = texts.flatMap { t =>
+      val ts = t.split(" "); ts.dropRight(1).zip(ts.drop(1))
+    }.groupBy(identity).map { case (p, o) => p -> o.length.toLong }
+      .filter(_._2 >= 5)
+    val want = bi.toSeq.map { case ((w1, w2), c12) =>
+      (w1, w2, c12, uni(w1), uni(w2), c12 * n * 1000000L / (uni(w1) * uni(w2)))
+    }.sortBy { case (w1, w2, _, _, _, l) => (-l, w1, w2) }.take(20)
+    val got = TextOps.bigramLift(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want,
+      s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    assert(got.size == 20 && got.forall(_._3 >= 5))
+  }
+
   test("q54: sf0.001 invariants — <=3 rows per doc, ranks contiguous " +
        "from 1, scores non-increasing within a doc") {
     val rows = TextOps.tfidfTopTerms(spark, "/root/testdata/sf0.001")
