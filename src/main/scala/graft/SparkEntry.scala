@@ -86,6 +86,7 @@ object SparkEntry {
     "q61_cms_heavy"     -> (TextOps.cmsHeavyHitters _),
     "q62_seq_packing"   -> (CorpusOps.seqPacking _),
     "q63_bigram_lift"   -> (TextOps.bigramLift _),
+    "q64_sem_dedup"     -> (AnnOps.semanticDedup _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "q61_cms_heavy"     -> TextOps.cmsHeavyHittersSql,
     "q62_seq_packing"   -> CorpusOps.seqPackingSql,
     "q63_bigram_lift"   -> TextOps.bigramLiftSql,
+    "q64_sem_dedup"     -> AnnOps.semanticDedupSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -506,6 +506,59 @@ object AnnOps {
        |      FROM scored)
        |WHERE rn <= 3""".stripMargin
 
+  /** q64: semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the trained coarse
+    * quantizer (q37's k-means cells), then WITHIN each cell drop every
+    * vector whose cosine to a lower-id cell-mate clears the threshold
+    * (τ = 0.4 ≈ 3σ of this noise corpus's cosine null — a real near-dup
+    * corpus uses ~0.95+); the lowest id of each similar group survives.
+    * This completes the embedding dedup family: q33 finds PAIRS by LSH
+    * band, q64 makes the keep/drop DECISION per vector, cluster-scoped
+    * exactly like the published pipeline.
+    *
+    * Scale shape: the candidate join is the within-cell equi-join on the
+    * trained cell — O(n²/C) per cell, the published SemDeDup cost, with C
+    * tracking corpus density (k-means, not a fixed hash); no
+    * CartesianProduct, no all-pairs across cells; the dup-id set is
+    * DISTINCT + broadcast back for the anti-membership flag. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .join(kmeansCells(s, dir).select("vec_id", "cell"), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val a = e.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = e.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos",
+        expr(dot.format("ea", "eb")) /
+          (sqrt(expr(dot.format("ea", "ea"))) *
+           sqrt(expr(dot.format("eb", "eb")))))
+      .filter(col("cos") >= 0.4)
+      .select(col("vb").as("vec_id")).distinct()
+    e.select(col("vec_id"), col("cell"))
+      .join(broadcast(dups.withColumn("dup", lit(1L))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $kmeansCte,
+       |e2 AS (SELECT em.vec_id, a3.cell, em.embedding
+       |       FROM embeddings em JOIN a3 ON em.vec_id = a3.vec_id),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot.format("a.embedding", "b.embedding")} /
+       |      (sqrt(${duckDot.format("a.embedding", "a.embedding")}) *
+       |       sqrt(${duckDot.format("b.embedding", "b.embedding")}))
+       |    >= 0.4)
+       |SELECT e2.vec_id, e2.cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS kept
+       |FROM e2 LEFT JOIN dups d ON e2.vec_id = d.vec_id""".stripMargin
+
   // ------------------------------------------------ product quantization
 
   /** PQ geometry: 64 dims split into `PqM` subspaces of `PqSub` dims, each

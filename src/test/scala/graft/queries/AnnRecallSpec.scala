@@ -177,4 +177,27 @@ class AnnRecallSpec extends SparkTestBase {
       assert(cosine(vecs(q), vecs(n)) > 0.5, s"adc pair ($q,$n) not close")
     }
   }
+
+  test("q64 semantic dedup: decision matches a straight-line within-cell " +
+       "replay; each cell's min id survives; the clustered corpus " +
+       "collapses to ~one survivor per latent cluster") {
+    val cells = AnnOps.kmeansCells(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCell = cells.groupBy(_._2).view
+      .mapValues(_.keys.toSeq.sorted).toMap
+    val wantKept = cells.keySet.filter { v =>
+      !byCell(cells(v)).exists(u => u < v && cosine(vecs(u), vecs(v)) >= 0.4)
+    }
+    val got = AnnOps.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 100 && got.map(_._1).distinct.length == 100)
+    got.foreach { case (v, c, k) =>
+      assert(c == cells(v), s"vec $v cell $c vs ${cells(v)}")
+      assert(k == (if (wantKept(v)) 1L else 0L), s"vec $v kept=$k")
+    }
+    val keptIds = got.filter(_._3 == 1L).map(_._1).toSet
+    byCell.values.foreach(ids => assert(keptIds(ids.min), ids.min.toString))
+    // 10 latent clusters of within-cos ≈0.99 → aggressive collapse
+    assert(keptIds.size <= 20 && keptIds.size >= 10, keptIds.size.toString)
+  }
 }

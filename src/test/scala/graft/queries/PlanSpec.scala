@@ -338,6 +338,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("q64 semantic dedup: candidates scoped to the trained cell " +
+       "equi-join — no label, no CartesianProduct; the dup-id set " +
+       "broadcasts back for the kept flag") {
+    val p = planOf(AnnOps.semanticDedup(spark, dir))
+    assert(!p.contains("label"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("cell"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
