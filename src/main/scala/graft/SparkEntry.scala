@@ -87,6 +87,8 @@ object SparkEntry {
     "q62_seq_packing"   -> (CorpusOps.seqPacking _),
     "q63_bigram_lift"   -> (TextOps.bigramLift _),
     "q64_sem_dedup"     -> (AnnOps.semanticDedup _),
+    "q65_lm_surprise"   -> (TextOps.lmSurprise _),
+    "q66_dsir_weights"  -> (CorpusOps.dsirWeights _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -170,6 +172,8 @@ object SparkEntry {
     "q62_seq_packing"   -> CorpusOps.seqPackingSql,
     "q63_bigram_lift"   -> TextOps.bigramLiftSql,
     "q64_sem_dedup"     -> AnnOps.semanticDedupSql,
+    "q65_lm_surprise"   -> TextOps.lmSurpriseSql,
+    "q66_dsir_weights"  -> CorpusOps.dsirWeightsSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

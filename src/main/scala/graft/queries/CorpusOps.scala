@@ -407,4 +407,103 @@ object CorpusOps {
       |  ((n_tokens - (n_seqs - 1) * 128) * 1000) // 128
       |    AS tail_fill_permille
       |FROM g""".stripMargin
+
+  /** q66: DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-unigram bag is
+    * under a TARGET distribution (here: the corpus's `lang = 'en'` slice,
+    * standing in for the high-quality target domain) than under the RAW
+    * corpus distribution. Both models are Laplace-smoothed categorical
+    * distributions over 64 sha-hash buckets — DSIR's hashed-n-gram
+    * model — and the per-token log-likelihood ratio is exact-integer:
+    * floor(log2) of the cross-multiplied ratio via `length(bin(x)) - 1`
+    * (the q65 idiom), clamped at −10 bits/token (weight clamping, as in
+    * the paper). A doc's rate_milli is its per-token log weight in
+    * milli-bits (Spark `div` and DuckDB `//` both truncate toward zero
+    * on negative integer operands — measured, not assumed); keep = 1 iff
+    * the doc's rate clears the corpus mean rate —
+    * the deterministic analog of DSIR's resample-proportional-to-weight.
+    *
+    * Scale shape: the two models are 64-row aggregates (shuffles bounded
+    * by the bucket count, combined map-side) broadcast into the token
+    * stream — ship-the-model, like q65; the only corpus-keyed shuffle is
+    * the per-doc rollup, O(docs) after map-side combine. At 100 TB the
+    * target slice is re-scanned once to build its 64-row model; nothing
+    * corpus-sized is ever joined or sorted. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket",
+        conv(substring(sha2(concat(lit("d:"), col("tok")), 256), 1, 8),
+          16, 10).cast("long") % 64)
+    val raw = tok.groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("cr"))
+    val tgt = tok.filter(col("lang") === "en").groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("ct"))
+    val nr = tok.agg(count(lit(1)).cast("long").as("nr"))
+    val nt = tok.filter(col("lang") === "en")
+      .agg(count(lit(1)).cast("long").as("nt"))
+    tok
+      .join(broadcast(raw), Seq("bucket"))
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("doc_id"),
+        expr("length(bin(greatest(" +
+          "((coalesce(ct, 0) + 1) * (nr + 64) * 1024)" +
+          " div ((cr + 1) * (nt + 64)), 1))) - 1 - 10").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum(col("bits")).cast("long").as("logw_bits"))
+      .withColumn("rate_milli",
+        expr("(logw_bits * 1000) div n_toks"))
+      .transform { scored =>
+        val mean = scored.agg(
+          expr("cast(sum(rate_milli) as bigint)" +
+            " div cast(count(1) as bigint)").as("mean_rate"))
+        scored.crossJoin(broadcast(mean))
+          .select(col("doc_id"), col("n_toks"), col("logw_bits"),
+            col("rate_milli"),
+            when(col("rate_milli") >= col("mean_rate"), lit(1L))
+              .otherwise(lit(0L)).as("keep"))
+      }
+  }
+
+  val dsirWeightsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(sha256('d:' || tok), 1, 8))::BIGINT % 64
+      |      AS bucket
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+      |        FROM tok GROUP BY bucket),
+      |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      |        FROM tok WHERE lang = 'en' GROUP BY bucket),
+      |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM tok),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tok
+      |       WHERE lang = 'en'),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    length(bin(greatest(
+      |      ((COALESCE(g.ct, 0) + 1) * (nr.nr + 64) * 1024)
+      |        // ((r.cr + 1) * (nt.nt + 64)), 1))) - 1 - 10 AS bits
+      |  FROM tok t
+      |  JOIN raw r ON t.bucket = r.bucket
+      |  LEFT JOIN tgt g ON t.bucket = g.bucket
+      |  CROSS JOIN nr CROSS JOIN nt),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    CAST(SUM(bits) AS BIGINT) AS logw_bits
+      |  FROM scored GROUP BY doc_id),
+      |rated AS (
+      |  SELECT doc_id, n_toks, logw_bits,
+      |    (logw_bits * 1000) // n_toks AS rate_milli FROM perdoc),
+      |m AS (
+      |  SELECT CAST(SUM(rate_milli) AS BIGINT)
+      |           // CAST(COUNT(*) AS BIGINT) AS mean_rate FROM rated)
+      |SELECT doc_id, n_toks, logw_bits, rate_milli,
+      |  CASE WHEN rate_milli >= mean_rate
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+      |FROM rated CROSS JOIN m""".stripMargin
 }

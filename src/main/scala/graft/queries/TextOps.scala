@@ -536,6 +536,118 @@ object TextOps {
       |ORDER BY lift_ppm DESC, b.w1, b.w2
       |LIMIT 20""".stripMargin
 
+  /** q65: bigram-LM surprise scoring — the perplexity-style quality
+    * filter of CCNet/Gopher (score each document under a corpus language
+    * model; keep the predictable "head", drop the noisy "tail"), made
+    * oracle-exact: the LM is the corpus's own bigram table and the
+    * per-bigram surprisal is floor(log2(c1·1024 / c12)) — an EXACT
+    * integer both engines derive as `length(bin(x)) - 1` (minimal-width
+    * binary in Spark and DuckDB alike), so no float log ever appears.
+    * A doc's score is the mean surprisal in milli-bits; docs are bucketed
+    * into CCNet's head/middle/tail terciles with EXACT cutoffs derived
+    * from a histogram of the milli-bit scores: avg_milli is bounded in
+    * [0, 64000] whatever the corpus size, so the histogram is a
+    * value-bounded table and the cumulative window over it costs O(64k)
+    * rows at any scale — exact global terciles without ever sorting the
+    * corpus (CCNet estimates the same cutoffs from a sample).
+    *
+    * Scale shape: bigrams are generated per-row (zip of two slices, no
+    * position self-join); the unigram/bigram model tables are
+    * vocab-bounded map-side-combined group-bys and are explicitly
+    * broadcast into the occurrence stream — "ship the trained LM to every
+    * worker", exactly how CCNet distributes its KenLM. The per-doc rollup
+    * combines map-side (a doc's bigrams are colocated by the narrow
+    * explode), so the one corpus-keyed shuffle carries O(docs) rows; the
+    * two tercile cutoffs ride a 1-row broadcast. */
+  def lmSurprise(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = toks
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = bg.groupBy("w1").agg(count(lit(1)).cast("long").as("c1"))
+    val bi  = bg.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val scored = bg
+      .join(broadcast(uni), Seq("w1"))
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(expr("length(bin((c1 * 1024) div c12)) - 1")).cast("long")
+          .as("surprise_sum"))
+      .withColumn("avg_milli",
+        expr("(surprise_sum * 1000) div n_bigrams"))
+    // exact tercile cutoffs from the value-bounded histogram: the first
+    // score value whose cumulative doc count reaches 1/3 (resp. 2/3) of
+    // the corpus — ties share a bucket, so the rule is deterministic
+    val hist = scored.groupBy("avg_milli")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("avg_milli")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .crossJoin(broadcast(
+        scored.agg(count(lit(1)).cast("long").as("n_docs"))))
+    val cuts = hist.agg(
+      min(when(col("cum") * 3 >= col("n_docs"), col("avg_milli")))
+        .as("head_cut"),
+      min(when(col("cum") * 3 >= col("n_docs") * 2, col("avg_milli")))
+        .as("tail_cut"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("surprise_sum"),
+        col("avg_milli"),
+        expr("CASE WHEN avg_milli <= head_cut THEN 'head'" +
+          " WHEN avg_milli > tail_cut THEN 'tail'" +
+          " ELSE 'middle' END").as("bucket"))
+  }
+
+  val lmSurpriseSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+      |uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      |        FROM bg GROUP BY w1),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |       FROM bg GROUP BY w1, w2),
+      |sc AS (
+      |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(length(bin((u.c1 * 1024) // b.c12)) - 1) AS BIGINT)
+      |      AS surprise_sum
+      |  FROM bg g
+      |  JOIN uni u ON g.w1 = u.w1
+      |  JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+      |  GROUP BY g.doc_id),
+      |avgd AS (
+      |  SELECT doc_id, n_bigrams, surprise_sum,
+      |    (surprise_sum * 1000) // n_bigrams AS avg_milli FROM sc),
+      |hist AS (
+      |  SELECT avg_milli, CAST(COUNT(*) AS BIGINT) AS cnt FROM avgd
+      |  GROUP BY avg_milli),
+      |cum AS (
+      |  SELECT avg_milli,
+      |    CAST(SUM(cnt) OVER (ORDER BY avg_milli
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM avgd) AS n_docs
+      |  FROM hist),
+      |cuts AS (
+      |  SELECT
+      |    MIN(CASE WHEN cum * 3 >= n_docs THEN avg_milli END) AS head_cut,
+      |    MIN(CASE WHEN cum * 3 >= n_docs * 2 THEN avg_milli END)
+      |      AS tail_cut
+      |  FROM cum)
+      |SELECT doc_id, n_bigrams, surprise_sum, avg_milli,
+      |  CASE WHEN avg_milli <= head_cut THEN 'head'
+      |       WHEN avg_milli > tail_cut THEN 'tail'
+      |       ELSE 'middle' END AS bucket
+      |FROM avgd CROSS JOIN cuts""".stripMargin
+
   // -------------------------------------------------------------------
   // q49: PII detect + redact — construct→scan round trip. The synthetic
   // corpus is PII-free by construction (no digit/@/+ ever appears in

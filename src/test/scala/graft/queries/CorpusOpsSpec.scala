@@ -184,4 +184,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(fin == (keep -- cont))
     assert(fin.nonEmpty)
   }
+
+  test("q66: DSIR importance weights separate the target domain — en " +
+       "docs score higher than non-en on average, per-token bits respect " +
+       "the clamp, and both keep classes are populated") {
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = CorpusOps.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == langs.size)
+    // Spark `div` and DuckDB `//` truncate toward zero, like Scala `/`
+    val meanRate = rows.map(_._4).sum / rows.length
+    rows.foreach { case (d, n, w, rate, k) =>
+      assert(w >= -10L * n, s"doc $d below the -10 bits/token clamp")
+      assert(rate == w * 1000 / n, s"doc $d rate mismatch")
+      assert(k == (if (rate >= meanRate) 1L else 0L))
+    }
+    val (en, rest) = rows.partition(r => langs(r._1) == "en")
+    def meanMilliBits(xs: Array[(Long, Long, Long, Long, Long)]) =
+      xs.map(_._4).sum / xs.length
+    assert(meanMilliBits(en) > meanMilliBits(rest),
+      s"en ${meanMilliBits(en)} !> rest ${meanMilliBits(rest)}")
+    assert(rows.exists(_._5 == 1L) && rows.exists(_._5 == 0L))
+    // the selector favors the target domain: en keep-rate strictly higher
+    val enKeep = en.count(_._5 == 1L).toDouble / en.length
+    val restKeep = rest.count(_._5 == 1L).toDouble / rest.length
+    assert(enKeep > restKeep, s"en $enKeep !> rest $restKeep")
+  }
 }

@@ -348,6 +348,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("q65 LM surprise: the bigram/unigram model tables broadcast into " +
+       "the occurrence stream (ship-the-LM shape) — no SortMergeJoin, no " +
+       "rangepartitioning; per-doc rollup combines map-side") {
+    val p = planOf(TextOps.lmSurprise(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("q66 DSIR weights: both 64-row models broadcast into the token " +
+       "stream — no SortMergeJoin, no rangepartitioning; rollups combine " +
+       "map-side") {
+    val p = planOf(CorpusOps.dsirWeights(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper

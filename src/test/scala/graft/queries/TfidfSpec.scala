@@ -88,6 +88,53 @@ class TfidfSpec extends SparkTestBase {
     assert(got.size == 20 && got.forall(_._3 >= 5))
   }
 
+  test("q65: bigram-LM surprise matches a straight-line replay — exact " +
+       "floor-log2 surprisal, milli-bit means, head/middle/tail split") {
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bg = rows.flatMap { case (d, t) =>
+      val ts = t.split(" ", -1)
+      if (ts.length < 2) Seq.empty[(Long, String, String)]
+      else ts.dropRight(1).zip(ts.drop(1)).toSeq
+        .map { case (a, b) => (d, a, b) }
+    }
+    val uni = bg.groupBy(_._2).map { case (w, o) => w -> o.length.toLong }
+    val bi = bg.groupBy(x => (x._2, x._3))
+      .map { case (p, o) => p -> o.length.toLong }
+    def log2floor(x: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(x)
+    val perDoc = bg.groupBy(_._1).map { case (d, os) =>
+      val s = os.map { case (_, a, b) =>
+        log2floor(uni(a) * 1024L / bi((a, b)))
+      }.sum
+      val n = os.length.toLong
+      (d, n, s, s * 1000L / n)
+    }.toSeq
+    val sortedA = perDoc.map(_._4).toSeq.sorted
+    val nd = sortedA.size
+    val headCut = sortedA((nd + 2) / 3 - 1)
+    val tailCut = sortedA((2 * nd + 2) / 3 - 1)
+    val want = perDoc.map { case (d, n, s, a) =>
+      val b = if (a <= headCut) "head"
+              else if (a > tailCut) "tail" else "middle"
+      (d, n, s, a, b)
+    }.sortBy(_._1)
+    val got = TextOps.lmSurprise(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq.sortBy(_._1)
+    assert(got.size == want.size)
+    assert(got == want,
+      s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // the split is CCNet's point: all three buckets non-empty, and every
+    // head doc scores below every tail doc
+    val byB = got.groupBy(_._5)
+    assert(byB.keySet == Set("head", "middle", "tail"), byB.keySet)
+    assert(byB("head").map(_._4).max < byB("tail").map(_._4).min)
+  }
+
   test("q54: sf0.001 invariants — <=3 rows per doc, ranks contiguous " +
        "from 1, scores non-increasing within a doc") {
     val rows = TextOps.tfidfTopTerms(spark, "/root/testdata/sf0.001")
