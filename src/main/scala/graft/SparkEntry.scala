@@ -89,6 +89,7 @@ object SparkEntry {
     "q64_sem_dedup"     -> (AnnOps.semanticDedup _),
     "q65_lm_surprise"   -> (TextOps.lmSurprise _),
     "q66_dsir_weights"  -> (CorpusOps.dsirWeights _),
+    "q67_exact_scrub"   -> (DedupOps.exactScrub _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "q64_sem_dedup"     -> AnnOps.semanticDedupSql,
     "q65_lm_surprise"   -> TextOps.lmSurpriseSql,
     "q66_dsir_weights"  -> CorpusOps.dsirWeightsSql,
+    "q67_exact_scrub"   -> DedupOps.exactScrubSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

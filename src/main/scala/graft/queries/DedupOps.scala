@@ -474,4 +474,86 @@ object DedupOps {
       |  (COALESCE(c.dup_cov, 0) * 1000)
       |    // CAST(len(string_split(b.text, ' ')) AS BIGINT) AS dup_permille
       |FROM documents b LEFT JOIN cov c ON b.doc_id = c.doc_id""".stripMargin
+
+  /** q67: exact-substring scrub — the TRANSFORMATION behind q44's stat
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr pipeline): every token covered by a
+    * cross-document duplicated 8-gram is REMOVED and the cleaned text is
+    * emitted (here as its md5, the q49 proof idiom — the full string would
+    * bloat the correctness dump, and the hash pins every byte anyway).
+    * Duplicated = the 8-gram appears in ≥2 distinct docs, exactly q44's
+    * rule, so kept_tokens ≡ n_tokens − q44.dup_cov by construction.
+    *
+    * Scale shape: the gram stream is q44's (hash-keyed — raw gram text
+    * never shuffles); covered positions collapse to ONE array row per doc
+    * via a map-side-combined collect_set (the 8× position fan-out never
+    * crosses an exchange raw), so the rebuild join is doc-keyed O(docs)
+    * rows on both sides — token-level rows never join. The per-row token
+    * filter is a positional array HOF (interpreted, but per-row and
+    * outside any exchange); the within-doc order is positional in the
+    * array, so no sort appears anywhere in the plan. */
+  def exactScrub(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val occ = base
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> named_struct('i', i," +
+          " 'gh', md5(concat_ws(' ', slice(toks, i, 8)))))")).as("o"))
+      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
+    val dup = occ.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val covArr = occ.join(dup, "gh")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+    base.join(covArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("filter(toks, (t, pi) -> cov IS NULL" +
+          " OR NOT array_contains(cov, pi + 1))").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", col("kept"))).as("scrub_md5"))
+  }
+
+  val exactScrubSql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, i,
+      |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |        toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |        toks[i+6] || ' ' || toks[i+7]) AS gh
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS toks,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 7)) AS i
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 8)),
+      |dup AS (
+      |  SELECT gh FROM (
+      |    SELECT gh, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, gh FROM occ)
+      |    GROUP BY gh) WHERE nd >= 2),
+      |cov AS (
+      |  SELECT DISTINCT o.doc_id, o.i + s.s AS p
+      |  FROM occ o JOIN dup d ON o.gh = d.gh,
+      |    (SELECT unnest(generate_series(0, 7)) AS s) s),
+      |tokpos AS (
+      |  SELECT doc_id, i AS p, toks[i] AS tok
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(generate_series(1, len(toks))) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents))),
+      |kept AS (
+      |  SELECT t.doc_id, t.p, t.tok
+      |  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+      |  WHERE c.p IS NULL),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+      |    string_agg(tok, ' ' ORDER BY p) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+      |  md5(COALESCE(a.cleaned, '')) AS scrub_md5
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 }

@@ -368,6 +368,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("q67 exact scrub: gram keys stay hashed, covered positions " +
+       "collapse to one array row per doc before the rebuild join " +
+       "(doc-keyed, never token-level), no CartesianProduct") {
+    val p = planOf(DedupOps.exactScrub(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the collect_set rollup combines map-side (ObjectHashAggregate pair)
+    assert(p.contains("partial_collect_set"), p.take(1500))
+    // raw gram text never appears as a join/group key: every gram key is
+    // the md5 hex (fixed width) — same invariant as q44
+    assert(!p.matches("(?s).*hashpartitioning\\(toks.*"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
