@@ -90,6 +90,7 @@ object SparkEntry {
     "q65_lm_surprise"   -> (TextOps.lmSurprise _),
     "q66_dsir_weights"  -> (CorpusOps.dsirWeights _),
     "q67_exact_scrub"   -> (DedupOps.exactScrub _),
+    "q68_fuzzy_decon"   -> (CorpusOps.fuzzyDecontaminate _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "q65_lm_surprise"   -> TextOps.lmSurpriseSql,
     "q66_dsir_weights"  -> CorpusOps.dsirWeightsSql,
     "q67_exact_scrub"   -> DedupOps.exactScrubSql,
+    "q68_fuzzy_decon"   -> CorpusOps.fuzzyDecontaminateSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -408,6 +408,69 @@ object CorpusOps {
       |    AS tail_fill_permille
       |FROM g""".stripMargin
 
+  /** q68: fuzzy (overlap-ratio) decontamination — the graded complement
+    * of q27's any-shared-gram rule, as used for Llama 2's eval
+    * contamination analysis (Touvron et al. 2023, Appendix A.6) and
+    * GPT-3's clean-split construction (Brown et al. 2020, Appendix C):
+    * for every (corpus doc, benchmark doc) pair sharing at least one
+    * word-3-gram, the fraction of the BENCHMARK doc's distinct 3-grams
+    * that leak into the corpus doc, in exact permille; contaminated = 1
+    * iff the overlap clears 100‰. 3-grams (vs q27's 5) give the graded
+    * middle the ratio exists to measure — on the fixture, incidental
+    * overlap tops out ~83‰ while true contamination sits at 1000‰, so
+    * the threshold separates them with a wide margin.
+    *
+    * Scale shape: the benchmark side is eval suites — thousands of docs
+    * against a 100 TB corpus — so its gram table broadcasts (q27's
+    * shape); the matched-pair rollup's shuffle carries only pairs that
+    * actually share a gram, and the per-benchmark gram counts ride a
+    * second (benchmark-bounded) broadcast. The corpus is scanned once
+    * and never shuffled whole. */
+  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3)," +
+          " i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("gram"))
+      .distinct()
+    val bench = g.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val benchSize = bench.groupBy("bench_id")
+      .agg(count(lit(1)).cast("long").as("bench_grams"))
+    g.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).cast("long").as("n_match"))
+      .join(broadcast(benchSize), Seq("bench_id"))
+      .withColumn("overlap_permille",
+        expr("(n_match * 1000) div bench_grams"))
+      .withColumn("contaminated",
+        when(col("overlap_permille") >= 100, lit(1L)).otherwise(lit(0L)))
+  }
+
+  val fuzzyDecontaminateSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS toks,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0),
+      |bs AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bench_grams
+      |       FROM bench GROUP BY 1),
+      |m AS (
+      |  SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_match
+      |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0) c
+      |  JOIN bench b USING (gram) GROUP BY 1, 2)
+      |SELECT m.bench_id, m.doc_id, m.n_match, s.bench_grams,
+      |  (m.n_match * 1000) // s.bench_grams AS overlap_permille,
+      |  CASE WHEN (m.n_match * 1000) // s.bench_grams >= 100
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+      |    AS contaminated
+      |FROM m JOIN bs s USING (bench_id)""".stripMargin
+
   /** q66: DSIR-style importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every document by how much more likely its hashed-unigram bag is

@@ -185,6 +185,42 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(fin.nonEmpty)
   }
 
+  test("q68: fuzzy decontamination matches a straight-line replay; the " +
+       "100-permille threshold splits exact dups from incidental overlap") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams3(t: String): Set[String] = {
+      val ts = t.split(" ", -1)
+      if (ts.length < 3) Set.empty
+      else (0 to ts.length - 3).map(i => ts.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val bench = texts.filter(_._1 % 50 == 0).map { case (d, t) => d -> grams3(t) }
+    val corpus = texts.filter(_._1 % 50 != 0).map { case (d, t) => d -> grams3(t) }
+    val want = (for {
+      (cd, cg) <- corpus; (bd, bg) <- bench
+      n = (cg & bg).size.toLong if n > 0
+      op = n * 1000 / bg.size
+    } yield (bd, cd, n, bg.size.toLong, op,
+      if (op >= 100) 1L else 0L)).sortBy(p => (p._1, p._2)).toSeq
+    val got = CorpusOps.fuzzyDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("bench_id")),
+        r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_match")),
+        r.getLong(r.fieldIndex("bench_grams")),
+        r.getLong(r.fieldIndex("overlap_permille")),
+        r.getLong(r.fieldIndex("contaminated"))))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(got == want,
+      s"sizes ${got.size}/${want.size}; first diff: " +
+        s"${got.zip(want).find(p => p._1 != p._2)}")
+    // graded structure exists: true contamination AND sub-threshold
+    // incidental overlap both present, and they're well separated
+    val (hot, cold) = got.partition(_._6 == 1L)
+    assert(hot.nonEmpty && cold.nonEmpty)
+    assert(hot.map(_._5).min >= 100 && cold.map(_._5).max < 100)
+  }
+
   test("q66: DSIR importance weights separate the target domain — en " +
        "docs score higher than non-en on average, per-token bits respect " +
        "the clamp, and both keep classes are populated") {

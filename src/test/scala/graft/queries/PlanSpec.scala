@@ -368,6 +368,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("q68 fuzzy decontamination: benchmark gram table and size table " +
+       "broadcast into the corpus stream (q27's shape) — no SortMergeJoin," +
+       " no CartesianProduct; the pair rollup combines map-side") {
+    val p = planOf(CorpusOps.fuzzyDecontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
   test("q67 exact scrub: gram keys stay hashed, covered positions " +
        "collapse to one array row per doc before the rebuild join " +
        "(doc-keyed, never token-level), no CartesianProduct") {
