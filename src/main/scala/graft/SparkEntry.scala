@@ -91,6 +91,7 @@ object SparkEntry {
     "q66_dsir_weights"  -> (CorpusOps.dsirWeights _),
     "q67_exact_scrub"   -> (DedupOps.exactScrub _),
     "q68_fuzzy_decon"   -> (CorpusOps.fuzzyDecontaminate _),
+    "q69_budget_select" -> (CorpusOps.budgetSelect _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -178,6 +179,7 @@ object SparkEntry {
     "q66_dsir_weights"  -> CorpusOps.dsirWeightsSql,
     "q67_exact_scrub"   -> DedupOps.exactScrubSql,
     "q68_fuzzy_decon"   -> CorpusOps.fuzzyDecontaminateSql,
+    "q69_budget_select" -> CorpusOps.budgetSelectSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

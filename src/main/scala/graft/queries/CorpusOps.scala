@@ -408,6 +408,75 @@ object CorpusOps {
       |    AS tail_fill_permille
       |FROM g""".stripMargin
 
+  /** q69: token-budget quality selection — the budgeted-selection step of
+    * quality-ranked corpus construction (FineWeb-Edu / phi-style "take the
+    * best-scored documents until the token budget"): keep every doc whose
+    * composite quality score clears a cutoff, where the cutoff is the
+    * HIGHEST score such that the kept docs still carry ≥60% of the corpus
+    * tokens. The cutoff comes from the q65 no-sort trick: score_milli is
+    * value-bounded in [0, 1000], so a score histogram (token-weighted) +
+    * one cumulative window over ≤1001 rows yields the exact global cutoff
+    * at any corpus size — "rank the corpus by quality" without ever
+    * sorting the corpus. Keep = score ≥ cutoff is minimal by
+    * construction: dropping the cutoff bucket dips below budget.
+    *
+    * Scale shape: one corpus scan computes per-doc scores; the histogram
+    * is a score-bounded aggregate (map-side combined); the cutoff rides a
+    * 1-row broadcast back into the scan. No corpus-keyed shuffle at all —
+    * the only exchanges carry ≤1001 histogram rows. */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(ttr_permille + stop_permille) div 2").as("score_milli"))
+    val hist = scored.groupBy("score_milli")
+      .agg(sum(col("n_tokens")).cast("long").as("tks"))
+      .withColumn("cum", sum("tks").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_milli").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .crossJoin(broadcast(
+        scored.agg(sum(col("n_tokens")).cast("long").as("total_toks"))))
+    val cut = hist.agg(
+      max(when(col("cum") * 1000 >= col("total_toks") * 600,
+        col("score_milli"))).as("cutoff"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_tokens"), col("score_milli"),
+        when(col("score_milli") >= col("cutoff"), lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+  }
+
+  val budgetSelectSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(toks, t -> t IN
+      |      ('the','a','of','and','der','die','das','und','el','la','de','y')))
+      |      AS BIGINT) AS stop_cnt
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents)),
+      |scored AS (
+      |  SELECT doc_id, n_tokens,
+      |    ((n_distinct * 1000) // n_tokens
+      |      + (stop_cnt * 1000) // n_tokens) // 2 AS score_milli
+      |  FROM q),
+      |hist AS (SELECT score_milli, CAST(SUM(n_tokens) AS BIGINT) AS tks
+      |         FROM scored GROUP BY 1),
+      |cum AS (SELECT score_milli,
+      |          CAST(SUM(tks) OVER (ORDER BY score_milli DESC
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |        FROM hist),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_toks
+      |        FROM scored),
+      |cut AS (SELECT MAX(CASE WHEN cum * 1000 >= total_toks * 600
+      |                   THEN score_milli END) AS cutoff
+      |        FROM cum CROSS JOIN tot)
+      |SELECT s.doc_id, s.n_tokens, s.score_milli,
+      |  CASE WHEN s.score_milli >= c.cutoff THEN CAST(1 AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS keep
+      |FROM scored s CROSS JOIN cut c""".stripMargin
+
   /** q68: fuzzy (overlap-ratio) decontamination — the graded complement
     * of q27's any-shared-gram rule, as used for Llama 2's eval
     * contamination analysis (Touvron et al. 2023, Appendix A.6) and

@@ -221,6 +221,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(hot.map(_._5).min >= 100 && cold.map(_._5).max < 100)
   }
 
+  test("q69: token-budget selection keeps >=60% of corpus tokens with a " +
+       "minimal score cutoff, matching a straight-line replay") {
+    val rows = CorpusOps.budgetSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val keptT = rows.filter(_._4 == 1L).map(_._2).sum
+    assert(keptT * 1000 >= total * 600, s"kept $keptT of $total")
+    assert(rows.exists(_._4 == 0L), "nothing dropped — budget degenerate")
+    // the cutoff is the kept docs' min score, and it's MINIMAL: dropping
+    // the cutoff bucket dips below the budget
+    val cutoff = rows.filter(_._4 == 1L).map(_._3).min
+    assert(rows.forall(r => (r._4 == 1L) == (r._3 >= cutoff)))
+    val above = rows.filter(_._3 > cutoff).map(_._2).sum
+    assert(above * 1000 < total * 600, s"cutoff not minimal: $above/$total")
+    // replay the cutoff from scratch
+    val byScore = rows.groupBy(_._3).map { case (s0, g) =>
+      s0 -> g.map(_._2).sum }
+    val wantCut = byScore.keys.toSeq.sorted(Ordering[Long].reverse)
+      .scanLeft((Long.MaxValue, 0L)) { case ((_, acc), s0) =>
+        (s0, acc + byScore(s0)) }.drop(1)
+      .filter { case (_, cum) => cum * 1000 >= total * 600 }
+      .map(_._1).max
+    assert(cutoff == wantCut, s"cutoff $cutoff != replay $wantCut")
+  }
+
   test("q66: DSIR importance weights separate the target domain — en " +
        "docs score higher than non-en on average, per-token bits respect " +
        "the clamp, and both keep classes are populated") {

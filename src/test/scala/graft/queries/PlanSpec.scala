@@ -378,6 +378,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("q69 budget selection: no corpus-keyed shuffle at all — the " +
+       "histogram is score-bounded, the cutoff rides a broadcast back; " +
+       "no SortMergeJoin, no rangepartitioning, no doc_id exchange") {
+    val p = planOf(CorpusOps.budgetSelect(spark, dir))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+    assert(!p.matches("(?s).*hashpartitioning\\(doc_id.*"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
   test("q67 exact scrub: gram keys stay hashed, covered positions " +
        "collapse to one array row per doc before the rebuild join " +
        "(doc-keyed, never token-level), no CartesianProduct") {
