@@ -92,6 +92,10 @@ object SparkEntry {
     "q67_exact_scrub"   -> (DedupOps.exactScrub _),
     "q68_fuzzy_decon"   -> (CorpusOps.fuzzyDecontaminate _),
     "q69_budget_select" -> (CorpusOps.budgetSelect _),
+    "q70_bm25"          -> (SearchOps.bm25TopK _),
+    "q71_rand_proj"     -> (AnnOps.randProj _),
+    "q72_minhash_audit" -> (DedupOps.minhashAudit _),
+    "q73_postings"      -> (SearchOps.postings _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -180,6 +184,10 @@ object SparkEntry {
     "q67_exact_scrub"   -> DedupOps.exactScrubSql,
     "q68_fuzzy_decon"   -> CorpusOps.fuzzyDecontaminateSql,
     "q69_budget_select" -> CorpusOps.budgetSelectSql,
+    "q70_bm25"          -> SearchOps.bm25TopKSql,
+    "q71_rand_proj"     -> AnnOps.randProjSql,
+    "q72_minhash_audit" -> DedupOps.minhashAuditSql,
+    "q73_postings"      -> SearchOps.postingsSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

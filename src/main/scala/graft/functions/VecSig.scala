@@ -47,11 +47,12 @@ object VecNative {
     * (`sequence(1, 64)` / `generate_series(1, 64)`). */
   val Dim = 64
 
-  /** ±1 hyperplane components for planes 0..163 (cell family 0..3, band
-    * family 100..163), element index 1-based — sign of the quadratic
-    * integer hash of x = plane·64 + i (see AnnOps.signCase: a LINEAR hash
-    * correlates plane pairs and clumps signatures; keep quadratic). */
-  private val MaxPlane = 164
+  /** ±1 hyperplane components for planes 0..207 (cell family 0..3, band
+    * family 100..163, random-projection family 200..207), element index
+    * 1-based — sign of the quadratic integer hash of x = plane·64 + i (see
+    * AnnOps.signCase: a LINEAR hash correlates plane pairs and clumps
+    * signatures; keep quadratic). */
+  private val MaxPlane = 208
   private lazy val signTable: Array[Double] = {
     val t = new Array[Double](MaxPlane * Dim)
     var p = 0
@@ -134,6 +135,36 @@ object VecNative {
       i += 1
     }
     s
+  }
+
+  /** Signed integer random projection (Johnson–Lindenstrauss with a ±1
+    * matrix): `dims` bigint components, p_j = Σ_i floor(e_i·1e6) ·
+    * sign(base+j, i). Works in q37's exact-integer µ-domain (floor, never
+    * round — tie rules differ between engines) and integer sums are
+    * order-independent, so oracle parity needs no fold-order care. */
+  def projQuant(e: ArrayData, base: Int, dims: Int): ArrayData = {
+    val tbl = signTable
+    val n = math.min(e.numElements(), Dim)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(e.getFloat(i).toDouble * 1000000.0).toLong
+      i += 1
+    }
+    val out = new Array[Long](dims)
+    var j = 0
+    while (j < dims) {
+      val off = (base + j) * Dim
+      var s = 0L
+      var k = 0
+      while (k < n) {
+        s += (if (tbl(off + k) > 0) q(k) else -q(k))
+        k += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   private val hexChars = "0123456789abcdef".toCharArray
@@ -278,6 +309,27 @@ case class MinhashBandHashes(child: Expression, full: Boolean)
       newChild: Expression): MinhashBandHashes = copy(child = newChild)
 }
 
+/** `proj_quant(e, base, dims)` — codegen'd signed ±1 random projection in
+  * the exact-integer µ-domain (array<float> → array<bigint> of `dims`). */
+case class ProjQuant(child: Expression, base: Int, dims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "proj_quant"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"proj_quant expects array<float>, got $t")
+  }
+  override protected def nullSafeEval(e: Any): Any =
+    VecNative.projQuant(e.asInstanceOf[ArrayData], base, dims)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecNative.projQuant($c, $base, $dims)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ProjQuant = copy(child = newChild)
+}
+
 /** `vec_quant(e)` — codegen'd floor-µ-quantization (array<float> →
   * array<bigint>). */
 case class VecQuant(child: Expression) extends UnaryExpression {
@@ -348,6 +400,9 @@ object GraftFunctions {
       es => MinhashBandHashes(es(0), full = true), "built-in")
     reg.createOrReplaceTempFunction("vec_quant",
       es => VecQuant(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("proj_quant",
+      es => ProjQuant(es(0), intLit(es(1), "base"),
+        intLit(es(2), "dims")), "built-in")
     reg.createOrReplaceTempFunction("sq_l2",
       es => SqL2(es(0), es(1)), "built-in")
   }

@@ -775,4 +775,68 @@ object AnnOps {
        |  CAST(ROUND(sqrt(${duckDot.format("embedding", "embedding")})
        |    * 1000000) AS BIGINT) AS norm_e6
        |FROM embeddings""".stripMargin
+
+  // -------------------------------------------------- random projection
+
+  /** Plane family 200..207 — independent of the cell (0..3) and band
+    * (100..163) families. */
+  private val ProjBase = 200
+  private val ProjDims = 8
+
+  /** q71: deterministic random projection (Johnson–Lindenstrauss, ±1
+    * matrix) of the 64-dim embeddings onto 8 components — the
+    * dimensionality-reduction step in front of a downstream ANN index or
+    * clustering pass (RP-LSH / JL sketching), in q37's exact-integer
+    * µ-domain: p_j = Σ_i floor(e_i·1e6) · sign(200+j, i), with the same
+    * quadratic-hash signs as the hyperplane families (a LINEAR hash
+    * correlates plane pairs — see signCase). Integer sums are
+    * order-independent, so both engines agree with no fold-order care.
+    * Beside the projected vector, the op emits the audit the correctness
+    * gate itself checks: the JL energy ratio (Σ_j p_j² / 8) / Σ_i q_i² in
+    * ppm — E[p_j²] = Σq_i² for ±1 signs, so the ratio concentrates near
+    * 10^6 and a broken sign table shows up as a wild ratio.
+    *
+    * Scale shape: ONE native codegen'd `proj_quant` call per row, pure
+    * scan→project — zero exchanges (pinned in PlanSpec). At 100 TB this
+    * is the map stage in front of whatever consumes the sketches. */
+  def randProj(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+      .select(col("vec_id"),
+        expr(s"proj_quant(embedding, $ProjBase, $ProjDims)").as("p"),
+        expr("vec_quant(embedding)").as("qv"))
+      .withColumn("sq_q",
+        expr("sq_l2(qv, array_repeat(cast(0 as bigint), 64))"))
+      .withColumn("sq_p",
+        expr(s"sq_l2(p, array_repeat(cast(0 as bigint), $ProjDims))"))
+    base.select(col("vec_id") +:
+      (0 until ProjDims).map(j => element_at(col("p"), j + 1).as(s"p$j")) :+
+      expr("((sq_p div 8) * 1000) div greatest(sq_q div 1000, 1)")
+        .as("energy_ppm"): _*)
+  }
+
+  val randProjSql: String = {
+    def signBig(j: Int): String = {
+      val x = s"(CAST(${ProjBase + j}*64 + i AS BIGINT))"
+      s"(CASE WHEN (($x*$x*40503 + $x*69069 + 12345) % 2147483648) " +
+        "< 1073741824 THEN 1 ELSE -1 END)"
+    }
+    val pCols = (0 until ProjDims).map { j =>
+      s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> qv[i] * ${signBig(j)})) AS BIGINT) AS p$j"
+    }.mkString(",\n    ")
+    val sqP = (0 until ProjDims).map(j => s"p$j*p$j").mkString(" + ")
+    s"""WITH eq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id,
+       |    $pCols,
+       |    CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS sq_q
+       |  FROM eq)
+       |SELECT vec_id, ${(0 until ProjDims).map(j => s"p$j").mkString(", ")},
+       |  ((($sqP) // 8) * 1000) // greatest(sq_q // 1000, 1) AS energy_ppm
+       |FROM p""".stripMargin
+  }
 }

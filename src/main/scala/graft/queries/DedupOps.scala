@@ -134,6 +134,76 @@ object DedupOps {
        |  JOIN d b ON p.doc_b = b.doc_id)
        |WHERE inter_cnt * 2 >= union_cnt""".stripMargin
 
+  /** q72: MinHash estimator audit — for every LSH candidate pair (q12),
+    * the sketch-estimated similarity (matching MinHash families / 8, in
+    * permille — each family matches with probability = shingle-Jaccard)
+    * beside the exact unigram-set Jaccard, and their gap. The q60/q61
+    * pattern applied to the dedup sketch: the correctness gate doesn't
+    * just check that the sketch computes, it audits how far the estimate
+    * sits from truth on every pair the index surfaced. (The estimator
+    * tracks SHINGLE-set Jaccard; the exact column is unigram-set Jaccard,
+    * so err_permille bounds estimator noise plus the shingle↔unigram gap —
+    * exact text duplicates pin both at 1000.)
+    *
+    * Scale shape: candidates are ~linear in corpus size (q12's LSH
+    * argument); each side equi-joins back to its per-row signature/token
+    * arrays by doc_id, so the shuffle carries O(candidates), and the
+    * family-match count is a codegen'd zip_with over two 8-element
+    * arrays. */
+  def minhashAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sides = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("minhash_sigs(toks)").as("sig"),
+        array_distinct(col("toks")).as("utoks"))
+    lshCandidatePairs(s, dir)
+      .join(sides.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("utoks").as("toks_a")), Seq("doc_a"))
+      .join(sides.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("utoks").as("toks_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y)," +
+          " v -> v)) as bigint)").as("match_fams"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+          .as("inter_cnt"),
+        size(array_union(col("toks_a"), col("toks_b"))).cast("long")
+          .as("union_cnt"))
+      .withColumn("est_permille", col("match_fams") * 125)
+      .withColumn("jacc_permille", expr("(inter_cnt * 1000) div union_cnt"))
+      .withColumn("err_permille",
+        abs(col("est_permille") - col("jacc_permille")))
+      .drop("inter_cnt", "union_cnt")
+  }
+
+  val minhashAuditSql: String =
+    s"""WITH pairs AS (${lshCandidatePairsSql.replace("\n", "\n  ")}),
+       |sig AS (${minhashSignaturesSql.replace("\n", "\n  ")}),
+       |m AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS match_fams
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+       |  GROUP BY 1, 2),
+       |d AS (SELECT doc_id,
+       |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |jx AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_cnt,
+       |    CAST(len(a.toks) + len(b.toks)
+       |      - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_cnt
+       |  FROM pairs p
+       |  JOIN d a ON p.doc_a = a.doc_id
+       |  JOIN d b ON p.doc_b = b.doc_id)
+       |SELECT m.doc_a, m.doc_b, m.match_fams,
+       |  m.match_fams * 125 AS est_permille,
+       |  (jx.inter_cnt * 1000) // jx.union_cnt AS jacc_permille,
+       |  ABS(m.match_fams * 125
+       |    - (jx.inter_cnt * 1000) // jx.union_cnt) AS err_permille
+       |FROM m JOIN jx USING (doc_a, doc_b)""".stripMargin
+
   // ------------------------------------------------- incremental dedup
   // The corpus-side analog of the crawl's URL-seen problem: dedup a NEW
   // batch of documents against the accumulated corpus (prior snapshot),

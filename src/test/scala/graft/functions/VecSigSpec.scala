@@ -122,10 +122,26 @@ class VecSigSpec extends SparkTestBase {
     assert(pairs.count() > 400)
   }
 
+  test("proj_quant ≡ interpreted signed floor-µ fold over planes 200..207, " +
+       "bitwise, all rows") {
+    val x = "(CAST((200 + j)*64 + i AS BIGINT))"
+    val sign = s"(CASE WHEN (($x*$x*40503 + $x*69069 + 12345) % 2147483648)" +
+      " < 1073741824 THEN 1L ELSE -1L END)"
+    val hof = "transform(sequence(0, 7), j -> " +
+      "aggregate(sequence(1, 64), 0L, (acc, i) -> acc + " +
+      "cast(floor(cast(element_at(embedding, i) as double) * 1000000D) " +
+      s"as bigint) * $sign))"
+    val bad = emb.filter(
+      expr("proj_quant(embedding, 200, 8)") =!= expr(hof)).count()
+    assert(bad == 0)
+    assert(emb.count() > 400)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = emb.select(expr("vec_dot(embedding, embedding)").as("d"),
         expr("hyper_sigs(embedding, 100, 8, 8)").as("s"),
-        expr("sq_l2(vec_quant(embedding), vec_quant(embedding))").as("q"))
+        expr("sq_l2(vec_quant(embedding), vec_quant(embedding))").as("q"),
+        expr("proj_quant(embedding, 200, 8)").as("pq"))
       .queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), p.take(400))
   }

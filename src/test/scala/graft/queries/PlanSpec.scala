@@ -400,6 +400,44 @@ class PlanSpec extends SparkTestBase {
     assert(!p.matches("(?s).*hashpartitioning\\(toks.*"), p.take(1500))
   }
 
+  test("q70 BM25: corpus never explodes into tokens — the tf is a " +
+       "per-row array expression; stats broadcast back; the top-10 rank " +
+       "filter lowers to WindowGroupLimit; no SortMergeJoin") {
+    val p = planOf(SearchOps.bm25TopK(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the only Generates are the 3-term query fan-out (the subtree shows
+    // up twice: the df-stats pass and the scoring pass — BM25's standard
+    // two scans); the corpus token array is NEVER exploded
+    assert(!p.contains("explode(split("), p.take(1500))
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates <= 2, s"$generates Generates:\n${p.take(1500)}")
+  }
+
+  test("q71 random projection: pure scan→project — ZERO exchanges; the " +
+       "whole op is one codegen'd map stage") {
+    val p = planOf(AnnOps.randProj(spark, dir))
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(p.contains("*(1)"), p.take(400))
+  }
+
+  test("q72 MinHash audit: candidate-fed equi-joins only — no " +
+       "CartesianProduct, no source/label key; family match is a " +
+       "per-row zip_with, not a signature shuffle") {
+    val p = planOf(DedupOps.minhashAudit(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("band_hash"), p.take(1500))
+  }
+
+  test("q73 postings: head cap lowers to WindowGroupLimit — map tasks " +
+       "pre-prune to local top-8 per term before the shuffle; stats " +
+       "combine map-side") {
+    val p = planOf(SearchOps.postings(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
