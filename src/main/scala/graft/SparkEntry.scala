@@ -96,6 +96,9 @@ object SparkEntry {
     "q71_rand_proj"     -> (AnnOps.randProj _),
     "q72_minhash_audit" -> (DedupOps.minhashAudit _),
     "q73_postings"      -> (SearchOps.postings _),
+    "q74_doc_chunks"    -> (CorpusOps.docChunks _),
+    "q75_dim_stats"     -> (AnnOps.dimStats _),
+    "q76_incr_vocab"    -> (TextOps.incrVocab _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -188,6 +191,9 @@ object SparkEntry {
     "q71_rand_proj"     -> AnnOps.randProjSql,
     "q72_minhash_audit" -> DedupOps.minhashAuditSql,
     "q73_postings"      -> SearchOps.postingsSql,
+    "q74_doc_chunks"    -> CorpusOps.docChunksSql,
+    "q75_dim_stats"     -> AnnOps.dimStatsSql,
+    "q76_incr_vocab"    -> TextOps.incrVocabSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -814,6 +814,55 @@ object AnnOps {
         .as("energy_ppm"): _*)
   }
 
+  /** q75: per-dimension corpus statistics over the embedding column — the
+    * mean/variance table a whitening or PCA pass is built from (and the
+    * sanity profile every embedding ingest job should emit), in the
+    * exact-integer µ-domain: mean_mu = Σq div n (both engines truncate
+    * toward zero — measured), var_mu2 = Σ(q − mean)² div n, the classic
+    * exact two-pass variance (a one-pass n·Σq² − (Σq)² spelling overflows
+    * bigint at corpus scale; the two-pass form caps every intermediate at
+    * n·(2·10⁶)²).
+    *
+    * Scale shape: the first pass shuffles only 64 dimension keys (partial
+    * aggregates combine map-side); the 64-row stat table broadcasts back
+    * into the second pass. Two corpus scans — the honest cost of an exact
+    * variance. */
+  def dimStats(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir)
+      .select(posexplode(expr("vec_quant(embedding)")))
+      .toDF("dim", "q")
+      .withColumn("dim", col("dim").cast("long"))
+    val m = q.groupBy("dim")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("q")).cast("long").as("s"))
+      .withColumn("mean_mu", expr("s div n_vecs"))
+      .drop("s")
+    q.join(broadcast(m), Seq("dim"))
+      .groupBy("dim")
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        max(col("mean_mu")).as("mean_mu"),
+        sum(expr("(q - mean_mu) * (q - mean_mu)")).cast("long").as("ss"))
+      .select(col("dim"), col("n_vecs"), col("mean_mu"),
+        expr("ss div n_vecs").as("var_mu2"))
+  }
+
+  val dimStatsSql: String =
+    """WITH qv AS (
+      |  SELECT i - 1 AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS q
+      |  FROM (SELECT embedding, unnest(generate_series(1, 64)) AS i
+      |        FROM embeddings)),
+      |m AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |        CAST(SUM(q) AS BIGINT) AS s
+      |      FROM qv GROUP BY dim),
+      |mm AS (SELECT dim, n_vecs, s // n_vecs AS mean_mu FROM m)
+      |SELECT q.dim, MAX(m.n_vecs) AS n_vecs, MAX(m.mean_mu) AS mean_mu,
+      |  CAST(SUM((q.q - m.mean_mu) * (q.q - m.mean_mu)) AS BIGINT)
+      |    // MAX(m.n_vecs) AS var_mu2
+      |FROM qv q JOIN mm m ON q.dim = m.dim
+      |GROUP BY q.dim""".stripMargin
+
   val randProjSql: String = {
     def signBig(j: Int): String = {
       val x = s"(CAST(${ProjBase + j}*64 + i AS BIGINT))"

@@ -408,6 +408,47 @@ object CorpusOps {
       |    AS tail_fill_permille
       |FROM g""".stripMargin
 
+  /** q74: overlapping document chunking — the retrieval/long-context prep
+    * step (RAG corpora, long-doc training): each document is cut into
+    * L=64-token windows at stride 48 (16-token overlap, so no boundary
+    * loses context), emitting per chunk its position, length and an md5
+    * proof of the exact token span (the q49/q67 idiom — the hash pins
+    * every byte of the chunk both engines produced). Chunk starts are
+    * 1 + 48k for k = 0..⌊(n−1)/48⌋, so every token is covered and the
+    * final chunk may run short.
+    *
+    * Scale shape: a pure per-row explode (chunks-per-doc is bounded by
+    * doc length) — narrow scan→generate→project, no shuffle at all; the
+    * chunk table is written straight to the reader's shards. */
+  def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val L = 64; val S = 48
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(cast(0 as bigint), (n_tok - 1) div $S)"))
+          .as("k"))
+      .withColumn("start_tok", col("k") * S + 1)
+      .withColumn("chunk", expr(s"slice(toks, cast(start_tok as int), $L)"))
+      .select(col("doc_id"), col("k").as("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+  }
+
+  val docChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |e AS (SELECT doc_id, toks,
+      |        unnest(generate_series(0, (len(toks) - 1) // 48)) AS k
+      |      FROM t),
+      |c AS (SELECT doc_id, k, toks[(k*48 + 1):(k*48 + 64)] AS chunk
+      |      FROM e)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |  CAST(k*48 + 1 AS BIGINT) AS start_tok,
+      |  CAST(len(chunk) AS BIGINT) AS n_toks,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |FROM c""".stripMargin
+
   /** q69: token-budget quality selection — the budgeted-selection step of
     * quality-ranked corpus construction (FineWeb-Edu / phi-style "take the
     * best-scored documents until the token budget"): keep every doc whose

@@ -315,6 +315,52 @@ object TextOps {
       |  GROUP BY tok),
       |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)""".stripMargin
 
+  /** q76: incremental vocabulary update — maintain q42's DF table under a
+    * new document batch without rebuilding it: per term TOUCHED BY THE
+    * BATCH, the prior-corpus df, the batch delta, and the merged df. The
+    * corpus/batch split is the q15/q35 derived threshold (batch = doc_id ≥
+    * ⌊4·max/5⌋); in production df_old is the stored vocab table from the
+    * previous snapshot and only the (term, df) rows for batch terms are
+    * read back.
+    *
+    * Scale shape: work ∝ batch — the batch-side aggregate is
+    * batch-bounded; the batch term set broadcasts as a LEFT SEMI into the
+    * corpus token stream, so the corpus side aggregates ONLY the touched
+    * vocabulary (never the full vocab table, and the corpus is scanned,
+    * not shuffled, beyond those terms). The final merge joins two
+    * vocab-bounded tables. */
+  def incrVocab(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).crossJoin(broadcast(
+      docs(s, dir).agg(expr("cast(max(doc_id)*4 div 5 as bigint)").as("t"))))
+    val tok = d.select(col("doc_id"), col("t"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val bdf = tok.filter(col("doc_id") >= col("t"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df_delta"))
+    val cdf = tok.filter(col("doc_id") < col("t"))
+      .join(broadcast(bdf.select("term")), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df_old"))
+    bdf.join(cdf, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("df_old"), lit(0L)).as("df_old"),
+        col("df_delta"),
+        (coalesce(col("df_old"), lit(0L)) + col("df_delta")).as("df_new"))
+  }
+
+  val incrVocabSql: String =
+    """WITH t AS (SELECT max(doc_id)*4//5 AS t FROM documents),
+      |tok AS (SELECT doc_id,
+      |          unnest(list_distinct(string_split(text, ' '))) AS term
+      |        FROM documents),
+      |b AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_delta
+      |      FROM tok CROSS JOIN t WHERE doc_id >= t.t GROUP BY term),
+      |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_old
+      |      FROM tok CROSS JOIN t WHERE doc_id < t.t GROUP BY term)
+      |SELECT b.term,
+      |  COALESCE(c.df_old, CAST(0 AS BIGINT)) AS df_old,
+      |  b.df_delta,
+      |  COALESCE(c.df_old, CAST(0 AS BIGINT)) + b.df_delta AS df_new
+      |FROM b LEFT JOIN c USING (term)""".stripMargin
+
   /** q43: rare-token ratio — per document, the permille of token
     * OCCURRENCES whose corpus document-frequency is under 10% of docs
     * (df_ppm < 100000). A high ratio marks garbage/OCR-noise documents a

@@ -438,6 +438,29 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("q74 chunking: pure narrow scan→generate→project — ZERO exchanges") {
+    val p = planOf(CorpusOps.docChunks(spark, dir))
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
+
+  test("q75 dim stats: first pass shuffles only 64 dim keys with " +
+       "map-side combine; the 64-row stat table broadcasts back — no " +
+       "SortMergeJoin") {
+    val p = planOf(AnnOps.dimStats(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q76 incremental vocab: the batch term set broadcasts as a LEFT " +
+       "SEMI into the corpus token stream — the corpus aggregates only " +
+       "touched vocabulary; no CartesianProduct") {
+    val p = planOf(TextOps.incrVocab(spark, dir))
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
