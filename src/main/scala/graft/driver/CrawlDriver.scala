@@ -124,14 +124,14 @@ final class CrawlDriver(
   // by SparkCrawlSpec) — keep bucket derivation columnar in the counting
   // job and the checkpoint delta instead of a typed map per row.
 
-  private def bcol(c: Column): Column = (c % numBuckets).cast("int")
-  private def frontierBucketCol: Column = bcol(col("shorthash"))
+  private def frontierBucketCol: Column =
+    CrawlDriver.cowBucketCol("frontier", numBuckets)
   private def hostBucketCol: Column =
-    bcol(CrawlDriver.shorthashCol("root_hash"))
+    CrawlDriver.cowBucketCol("hosts", numBuckets)
   private def keyBucketCol: Column =
-    bcol(CrawlDriver.shorthashCol("url_hash"))
+    CrawlDriver.cowBucketCol("fetch_log", numBuckets)
   private def urlBucketCol: Column =
-    bcol(CrawlDriver.urlShorthashCol("url"))
+    CrawlDriver.cowBucketCol("extracted", numBuckets)
 
   /** Distinct buckets of a small driver-initiated delta (seeds, mq acks,
     * partition labels) — one narrow job over just the delta rows. */
@@ -620,6 +620,23 @@ object CrawlDriver {
     fBucket(Urls.shorthash(rootHash), nb)
   def uBucket(url: String, nb: Int): Int =
     fBucket(Urls.shorthash(Urls.urlHash(url)), nb)
+
+  /** Per-COW-table bucket derivation — the single source of truth shared
+    * by the driver's checkpoint deltas and the offline rebucket job
+    * (tables.SnapshotStore.rebucket must hash exactly as the driver
+    * resuming at the new bucket count will; scala↔columnar equality is
+    * pinned by SparkCrawlSpec via fBucket/hBucket/uBucket). */
+  def cowBucketCol(table: String, nb: Int): Column = {
+    def b(c: Column): Column = (c % nb).cast("int")
+    table match {
+      case "frontier"            => b(col("shorthash"))
+      case "hosts"               => b(shorthashCol("root_hash"))
+      case "fetch_log" | "pages" => b(shorthashCol("url_hash"))
+      case "extracted"           => b(urlShorthashCol("url"))
+      case other => throw new IllegalArgumentException(
+        s"unknown cow table $other")
+    }
+  }
 
   /** K2 shorthash as a column (first 8 hex chars of a hash column parsed
     * as u32 — db.c:836-838): columnar mirror of Urls.shorthash. */

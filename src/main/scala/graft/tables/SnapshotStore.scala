@@ -368,6 +368,44 @@ final class SnapshotStore(val io: SnapshotIO) {
     Some(out)
   }
 
+  /**
+   * Cluster-resize maintenance: rewrite EVERY COW table under a new bucket
+   * count in one atomically-published snapshot version — the step an
+   * operator runs between "crawl at N executors" and "resume at 4N" (the
+   * BASELINE scaling scenario). The bucket modulus is the COW commit
+   * granularity: resuming a store laid out mod B with a driver hashing
+   * mod B′ silently corrupts later commits — a changed bucket's LWW merge
+   * reads only the OLD bucket-b files while rows that now map to b sit in
+   * other dirs, so a key ends up duplicated across bucket dirs. This job
+   * re-derives the bucket column per table (`bucketCol`, which must hash
+   * exactly as the driver will — CrawlDriver.cowBucketCol) and rewrites
+   * each table into one new version dir. O(table), offline, paid once per
+   * resize — Iceberg's rewrite_data_files with a new partition spec.
+   * Append tables carry forward untouched.
+   */
+  def rebucket(spark: SparkSession, newBuckets: Int,
+               bucketCol: String => Column): Option[Snapshot] = {
+    require(newBuckets >= 1, "newBuckets >= 1")
+    val snap = loadLatest().getOrElse(return None)
+    val version = snap.version + 1
+    val cow = snap.cow.map { case (table, buckets) =>
+      if (buckets.isEmpty) table -> buckets
+      else {
+        val relDir = s"data/$table/" + f"v$version%06d"
+        val dir = io.resolve(relDir)
+        spark.read.parquet(buckets.values.toSeq: _*)
+          .withColumn("bucket", bucketCol(table))
+          .write.partitionBy("bucket").parquet(dir)
+        val written = (0 until newBuckets)
+          .filter(b => io.exists(s"$relDir/bucket=$b"))
+        table -> written.map(b => b -> s"$dir/bucket=$b").toMap
+      }
+    }
+    val out = snap.copy(version = version, cow = cow)
+    writeManifest(out)
+    Some(out)
+  }
+
   // ---------------------------------------------------------------- reads
 
   /** Read a COW table at a snapshot (bucket column not reconstructed —

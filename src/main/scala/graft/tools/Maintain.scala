@@ -12,12 +12,18 @@ import graft.tables.SnapshotStore
  * newest `retain` manifests plus the data version-dirs only they
  * reference.
  *
+ * Also hosts the cluster-resize job: `rebucket <N>` rewrites every COW
+ * table under a new bucket count (run before resuming the crawl with a
+ * driver configured for N buckets — see SnapshotStore.rebucket).
+ *
  * Usage: runMain graft.tools.Maintain <snapshotDir> [retain]
+ *        runMain graft.tools.Maintain <snapshotDir> rebucket <N>
  */
 object Maintain {
   def main(args: Array[String]): Unit = {
     val snapDir = args.headOption.getOrElse(
-      sys.error("usage: Maintain <snapshotDir> [retain]"))
+      sys.error("usage: Maintain <snapshotDir> [retain | rebucket <N>]"))
+    if (args.lift(1).contains("rebucket")) { rebucketMain(snapDir, args); return }
     val retain = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -49,6 +55,28 @@ object Maintain {
     println(s"[maintain] expired to $retain manifests; " +
       s"deleted ${deleted.size} version dirs")
     deleted.foreach(d => println(s"[maintain]   rm $d"))
+    spark.stop()
+  }
+
+  private def rebucketMain(snapDir: String, args: Array[String]): Unit = {
+    val n = args.lift(2).map(_.toInt).getOrElse(
+      sys.error("usage: Maintain <snapshotDir> rebucket <N>"))
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-rebucket")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val st = new SnapshotStore(snapDir)
+    st.rebucket(spark, n,
+      t => graft.driver.CrawlDriver.cowBucketCol(t, n)) match {
+      case Some(s) =>
+        println(s"[maintain] rebucketed to $n buckets -> v${s.version}")
+        s.cow.toSeq.sortBy(_._1).foreach { case (t, bs) =>
+          println(s"[maintain]   $t: ${bs.size} non-empty buckets") }
+      case None => println(s"[maintain] no snapshots under $snapDir")
+    }
     spark.stop()
   }
 }

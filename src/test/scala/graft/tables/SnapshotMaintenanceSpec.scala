@@ -95,6 +95,61 @@ class SnapshotMaintenanceSpec extends SparkTestBase {
       assert(Files.exists(Paths.get(d)), s"shared version dir deleted: $d") }
   }
 
+  test("rebucket 8→16: cluster-resize resume — trace and seen set match " +
+       "an uninterrupted run, every rewritten bucket dir is pure under " +
+       "the new modulus, and a post-resize commit stays key-unique") {
+    // uninterrupted reference run
+    val ref = new CrawlDriver(spark, FixtureWeb.config(),
+      CrawlRound.webFromMap(spark, FixtureWeb.generate()), store = None)
+    ref.seed(FixtureWeb.seeds, T0 - 1)
+    ref.run(T0, 10)
+
+    // crawl half at 8 buckets, checkpointing every round
+    val root = Files.createTempDirectory("graft-snap-rebucket").toString
+    val st = new SnapshotStore(root)
+    val drv = freshDriver(st) // numBuckets = 8
+    drv.run(T0, 5)
+
+    // offline resize to 16 buckets
+    val resized = st.rebucket(spark, 16,
+      t => CrawlDriver.cowBucketCol(t, 16)).get
+    assert(resized.cow("frontier").keySet.exists(_ >= 8),
+      "resize produced no bucket beyond the old modulus")
+    // every rewritten dir holds only rows whose 16-modulus bucket is the
+    // dir's — the property that makes post-resize COW merges sound
+    resized.cow.foreach { case (table, buckets) =>
+      buckets.foreach { case (b, path) =>
+        val rows = spark.read.parquet(path)
+        val mismatch = rows
+          .withColumn("b2", CrawlDriver.cowBucketCol(table, 16))
+          .filter(org.apache.spark.sql.functions.col("b2") =!= b).count()
+        assert(mismatch == 0, s"$table bucket $b impure after rebucket")
+      }
+    }
+
+    // resume with a 4×-cluster driver (16 buckets) and finish the crawl
+    val big = new CrawlDriver(spark, FixtureWeb.config(),
+      CrawlRound.webFromMap(spark, FixtureWeb.generate()), Some(st),
+      numBuckets = 16, checkpointEvery = 1)
+    assert(big.resume())
+    big.run(drv.lastNow + 1, 5)
+    assert(big.seenSet == ref.seenSet)
+    assert(big.traceRows == ref.traceRows)
+
+    // the post-resize commits merged against the 16-bucket layout: a
+    // fresh resume sees exactly one row per frontier key (the duplicate-
+    // across-buckets corruption rebucket exists to prevent)
+    val check = new CrawlDriver(spark, FixtureWeb.config(),
+      CrawlRound.webFromMap(spark, FixtureWeb.generate()), Some(st),
+      numBuckets = 16)
+    assert(check.resume())
+    val f = check.frontier.toDF()
+    assert(f.count() == f.select("url_hash").distinct().count(),
+      "duplicate frontier keys after post-resize commits")
+    assert(check.seenSet == ref.seenSet)
+    assert(check.traceRows == ref.traceRows)
+  }
+
   test("maintenance is an explicit backend opt-in: a read/commit-only " +
        "SnapshotIO rejects expire") {
     val root = Files.createTempDirectory("graft-snap-ro").toString
