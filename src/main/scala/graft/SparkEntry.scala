@@ -99,6 +99,9 @@ object SparkEntry {
     "q74_doc_chunks"    -> (CorpusOps.docChunks _),
     "q75_dim_stats"     -> (AnnOps.dimStats _),
     "q76_incr_vocab"    -> (TextOps.incrVocab _),
+    "q77_source_kl"     -> (CorpusOps.sourceKl _),
+    "q78_copy_matrix"   -> (DedupOps.copyMatrix _),
+    "q79_bucket_balance"-> (CorpusOps.bucketBalance _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -194,6 +197,9 @@ object SparkEntry {
     "q74_doc_chunks"    -> CorpusOps.docChunksSql,
     "q75_dim_stats"     -> AnnOps.dimStatsSql,
     "q76_incr_vocab"    -> TextOps.incrVocabSql,
+    "q77_source_kl"     -> CorpusOps.sourceKlSql,
+    "q78_copy_matrix"   -> DedupOps.copyMatrixSql,
+    "q79_bucket_balance"-> CorpusOps.bucketBalanceSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

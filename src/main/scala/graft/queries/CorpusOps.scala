@@ -408,6 +408,111 @@ object CorpusOps {
       |    AS tail_fill_permille
       |FROM g""".stripMargin
 
+  /** q77: per-source KL divergence to the corpus language mix — the
+    * source-selection diagnostic (which sources skew the mixture, and by
+    * how many bits) run before rebalancing (q58 fixes what q77 measures).
+    * Exact-integer: per (source, lang), the log-likelihood ratio
+    * log2(p_source(lang)/p_corpus(lang)) is computed in milli-bits via
+    * the q70 deterministic log2 (floor-log2 + linear mantissa) on the
+    * 1024-scaled cross-multiplied ratio, clamped at −10 bits; the KL sum
+    * divides by the source size once at the end (Σ c·bits div n — one
+    * floor, not one per term).
+    *
+    * Scale shape: everything is (source × lang)-bounded — two map-side-
+    * combined aggregates and a broadcast of the |langs|-row corpus
+    * distribution; the corpus is scanned once and never shuffled. */
+  def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    val log2m = (x: String) =>
+      s"((length(bin($x)) - 1) * 1000 + " +
+        s"((($x) * 1024 div shiftleft(cast(1 as bigint), " +
+        s"length(bin($x)) - 1)) - 1024) * 1000 div 1024)"
+    val d = docs(s, dir)
+    val sl = d.groupBy("source", "lang")
+      .agg(count(lit(1)).cast("long").as("c_sl"))
+    val srcN = sl.groupBy("source")
+      .agg(sum(col("c_sl")).cast("long").as("n_s"))
+    val langN = d.groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("c_l"))
+    val total = d.agg(count(lit(1)).cast("long").as("n_total"))
+    sl.join(broadcast(langN), Seq("lang"))
+      .join(broadcast(srcN), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("ratio",
+        expr("greatest((c_sl * n_total * 1024) div (n_s * c_l), 1)"))
+      .withColumn("bits_milli",
+        expr(s"greatest(${log2m("ratio")} - 10000, -10000)"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_docs"),
+        expr("cast(sum(c_sl * bits_milli) as bigint) div max(n_s)")
+          .as("kl_milli"))
+  }
+
+  val sourceKlSql: String = {
+    val log2m = (x: String) =>
+      s"((length(bin($x)) - 1) * 1000 + " +
+        s"((($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024) " +
+        s"* 1000 // 1024)"
+    s"""WITH sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c_sl
+       |            FROM documents GROUP BY 1, 2),
+       |sn AS (SELECT source, CAST(SUM(c_sl) AS BIGINT) AS n_s
+       |       FROM sl GROUP BY source),
+       |ln AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_l
+       |       FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+       |r AS (
+       |  SELECT source, c_sl, n_s,
+       |    GREATEST((c_sl * n_total * 1024) // (n_s * c_l), 1) AS ratio
+       |  FROM sl JOIN ln USING (lang) JOIN sn USING (source)
+       |  CROSS JOIN tot),
+       |b AS (SELECT source, c_sl, n_s,
+       |        GREATEST(${log2m("ratio")} - 10000, -10000) AS bits_milli
+       |      FROM r)
+       |SELECT source, MAX(n_s) AS n_docs,
+       |  CAST(SUM(c_sl * bits_milli) AS BIGINT) // MAX(n_s) AS kl_milli
+       |FROM b GROUP BY source""".stripMargin
+  }
+
+  /** q79: partition-balance audit — per training shard (q29's hash-bucket
+    * writer assignment), its document and token load and the load ratio
+    * to a perfectly uniform split in ppm (1e6 = balanced). The check an
+    * operator runs before fanning 10^10 docs across shard writers: a
+    * skewed modulus shows up here long before a straggling task does.
+    * Exact integers; the 1-row totals broadcast back into the 32-row
+    * shard rollup — the corpus is aggregated once, map-side combined. */
+  def bucketBalance(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(
+      (conv(substring(sha2(concat(lit("shuf:"),
+          col("doc_id").cast("string")), 256), 1, 8), 16, 10)
+        .cast("long") % 32).cast("int").as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val per = sh.groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+    per.crossJoin(broadcast(per.agg(
+        sum(col("n_docs")).cast("long").as("tot_docs"),
+        sum(col("n_tokens")).cast("long").as("tot_tokens"))))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 32 * 1000000) div tot_docs").as("doc_load_ppm"),
+        expr("(n_tokens * 32 * 1000000) div tot_tokens")
+          .as("tok_load_ppm"))
+  }
+
+  val bucketBalanceSql: String =
+    """WITH sh AS (
+      |  SELECT (('0x' || substr(sha256('shuf:' || doc_id), 1, 8))::BIGINT
+      |            % 32)::INT AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |          CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |        FROM sh GROUP BY shard),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+      |          CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per)
+      |SELECT shard, n_docs, n_tokens,
+      |  (n_docs * 32 * 1000000) // tot_docs AS doc_load_ppm,
+      |  (n_tokens * 32 * 1000000) // tot_tokens AS tok_load_ppm
+      |FROM per CROSS JOIN tot""".stripMargin
+
   /** q74: overlapping document chunking — the retrieval/long-context prep
     * step (RAG corpora, long-doc training): each document is cut into
     * L=64-token windows at stride 48 (16-token overlap, so no boundary

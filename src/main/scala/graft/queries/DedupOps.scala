@@ -204,6 +204,56 @@ object DedupOps {
        |    - (jx.inter_cnt * 1000) // jx.union_cnt) AS err_permille
        |FROM m JOIN jx USING (doc_a, doc_b)""".stripMargin
 
+  /** q78: cross-source duplication matrix — where the near-duplication
+    * actually comes from: every LSH candidate pair (q12) attributed to its
+    * (source_a, source_b) cell with the candidate count and how many pairs
+    * the exact-Jaccard verifier (q13's 2·|∩| ≥ |∪| rule) confirms. The
+    * corpus-analytics rollup behind "which sites mirror which" that decides
+    * crawl-side blocklists and per-source quotas (q59).
+    *
+    * Scale shape: pairs are ~linear in corpus size (q12's LSH argument)
+    * and each side equi-joins its doc row by id, so every shuffle is
+    * candidate-bounded; the matrix itself is |sources|²-bounded with
+    * map-side combine. Source labels are normalized so (a,b) and (b,a)
+    * land in one cell. */
+  def copyMatrix(s: SparkSession, dir: String): DataFrame = {
+    val meta = docs(s, dir).select(col("doc_id"),
+      col("source"), array_distinct(split(col("text"), " ")).as("toks"))
+    lshCandidatePairs(s, dir)
+      .join(meta.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        when(size(array_intersect(col("toks_a"), col("toks_b"))) * 2 >=
+             size(array_union(col("toks_a"), col("toks_b"))), 1L)
+          .otherwise(0L).as("is_dup"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        sum(col("is_dup")).cast("long").as("n_dups"))
+  }
+
+  val copyMatrixSql: String =
+    s"""WITH pairs AS (${lshCandidatePairsSql.replace("\n", "\n  ")}),
+       |d AS (SELECT doc_id, source,
+       |        list_distinct(string_split(text, ' ')) AS toks
+       |      FROM documents),
+       |cell AS (
+       |  SELECT LEAST(a.source, b.source) AS source_a,
+       |    GREATEST(a.source, b.source) AS source_b,
+       |    CASE WHEN len(list_intersect(a.toks, b.toks)) * 2 >=
+       |      len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+       |      THEN 1 ELSE 0 END AS is_dup
+       |  FROM pairs p
+       |  JOIN d a ON p.doc_a = a.doc_id
+       |  JOIN d b ON p.doc_b = b.doc_id)
+       |SELECT source_a, source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(is_dup) AS BIGINT) AS n_dups
+       |FROM cell GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------- incremental dedup
   // The corpus-side analog of the crawl's URL-seen problem: dedup a NEW
   // batch of documents against the accumulated corpus (prior snapshot),

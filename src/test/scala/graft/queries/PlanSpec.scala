@@ -461,6 +461,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q77 source KL: (source × lang)-bounded aggregates with the corpus " +
+       "distribution broadcast back — no SortMergeJoin, map-side combine") {
+    val p = planOf(CorpusOps.sourceKl(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("q78 copy matrix: candidate-bounded equi-joins, no CartesianProduct; " +
+       "the matrix rollup combines map-side") {
+    val p = planOf(DedupOps.copyMatrix(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("band_hash"), p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(1500))
+  }
+
+  test("q79 bucket balance: ONE corpus aggregate (map-side combined), " +
+       "totals broadcast back into the 32-row rollup") {
+    val p = planOf(CorpusOps.bucketBalance(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
