@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.driver.CrawlDriver
 import graft.operators.{CorpusBridge, CrawlRound}
-import graft.queries.{CorpusOps, DedupOps, TextOps}
+import graft.queries.{CorpusOps, DedupOps, SearchOps, TextOps}
 import graft.sim.FixtureWeb
 
 /**
@@ -66,6 +66,20 @@ object PipelineDemo {
     println(s"[pipeline] packing: ${packed.getLong(0)} docs, " +
       s"${packed.getLong(1)} tokens -> ${packed.getLong(2)} " +
       "L=128 training sequences")
+
+    // --- 4. retrieval prep over the same export --------------------------
+    val chunks = CorpusOps.docChunks(spark, outDir)
+      .agg(count(lit(1)), sum("n_toks")).collect()(0)
+    println(s"[pipeline] chunking: ${chunks.getLong(0)} L=64/stride-48 " +
+      s"retrieval chunks covering ${chunks.getLong(1)} token slots")
+    val idx = SearchOps.postings(spark, outDir)
+    println(s"[pipeline] index: ${idx.count()} terms; sample posting " +
+      s"heads: ${idx.orderBy(col("df").desc).limit(2).collect()
+        .map(r => s"'${r.getString(0)}' df=${r.getLong(1)}").mkString(", ")}")
+    val balance = CorpusOps.bucketBalance(spark, outDir)
+      .agg(max("doc_load_ppm"), min("doc_load_ppm")).collect()(0)
+    println(s"[pipeline] shard balance: doc load " +
+      s"${balance.getLong(1)}..${balance.getLong(0)} ppm of uniform")
     spark.stop()
   }
 }
