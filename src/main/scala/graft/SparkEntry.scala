@@ -102,6 +102,8 @@ object SparkEntry {
     "q77_source_kl"     -> (CorpusOps.sourceKl _),
     "q78_copy_matrix"   -> (DedupOps.copyMatrix _),
     "q79_bucket_balance"-> (CorpusOps.bucketBalance _),
+    "q80_winnowing"     -> (DedupOps.winnowing _),
+    "q81_signal_agree"  -> (TextOps.signalAgreement _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -200,6 +202,8 @@ object SparkEntry {
     "q77_source_kl"     -> CorpusOps.sourceKlSql,
     "q78_copy_matrix"   -> DedupOps.copyMatrixSql,
     "q79_bucket_balance"-> CorpusOps.bucketBalanceSql,
+    "q80_winnowing"     -> DedupOps.winnowingSql,
+    "q81_signal_agree"  -> TextOps.signalAgreementSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

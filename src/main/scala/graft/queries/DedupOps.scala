@@ -204,6 +204,57 @@ object DedupOps {
        |    - (jx.inter_cnt * 1000) // jx.union_cnt) AS err_permille
        |FROM m JOIN jx USING (doc_a, doc_b)""".stripMargin
 
+  /** q80: winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local fingerprinting scheme): 3-gram md5 hashes, windows of
+    * w = 4 consecutive hashes, the minimum of each window selected, the
+    * distinct selections forming the document's fingerprint set. The
+    * guarantee that makes it a dedup primitive: any shared run of ≥
+    * w + k − 1 = 6 tokens between two documents shares at least one
+    * selected fingerprint. Output per doc: window count, fingerprint
+    * count, density in ppm (winnowing's expected density is 2/(w+1) ≈
+    * 400000 ppm) and an md5 proof over the sorted selection (the q49/q67
+    * idiom — the hash pins the exact set both engines derived).
+    *
+    * Scale shape: ONE narrow per-row expression chain — no explode, no
+    * shuffle; the fingerprint table is what a downstream (hash → docs)
+    * index would group, exactly like q11's signatures. */
+  def winnowing(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 6) // ≥ w + k - 1 so ≥1 full window
+      .withColumn("g", expr(
+        "transform(sequence(1, size(toks) - 2), i -> md5(concat_ws(' ', " +
+          "element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2))))"))
+      .withColumn("sel", expr(
+        "array_distinct(transform(sequence(1, size(g) - 3), " +
+          "j -> array_min(slice(g, j, 4))))"))
+      .select(col("doc_id"),
+        expr("cast(size(g) - 3 as bigint)").as("n_windows"),
+        expr("cast(size(sel) as bigint)").as("n_fp"),
+        expr("(cast(size(sel) as bigint) * 1000000) div " +
+          "cast(size(g) - 3 as bigint)").as("fp_ppm"),
+        expr("md5(concat_ws('|', array_sort(sel)))").as("fp_md5"))
+
+  val winnowingSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 6),
+      |g AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(toks) - 2),
+      |          i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |          AS g
+      |      FROM t),
+      |sel AS (SELECT doc_id, CAST(len(g) - 3 AS BIGINT) AS n_windows,
+      |          list_distinct(list_transform(
+      |            generate_series(1, len(g) - 3),
+      |            j -> list_min(g[j:j+3]))) AS sel
+      |        FROM g)
+      |SELECT doc_id, n_windows, CAST(len(sel) AS BIGINT) AS n_fp,
+      |  (CAST(len(sel) AS BIGINT) * 1000000) // n_windows AS fp_ppm,
+      |  md5(array_to_string(list_sort(sel), '|')) AS fp_md5
+      |FROM sel""".stripMargin
+
   /** q78: cross-source duplication matrix — where the near-duplication
     * actually comes from: every LSH candidate pair (q12) attributed to its
     * (source_a, source_b) cell with the candidate count and how many pairs

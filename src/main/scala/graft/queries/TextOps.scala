@@ -651,6 +651,38 @@ object TextOps {
           " ELSE 'middle' END").as("bucket"))
   }
 
+  /** q81: quality-signal agreement matrix — the calibration cross-tab
+    * between two independent quality signals (q21's lexical score, banded
+    * at 250‰, and q65's LM-perplexity tercile): how many documents land
+    * in each (band, tercile) cell. The diagnostic a curation pipeline
+    * runs before trusting either filter alone — systematic disagreement
+    * (high-lexical-quality docs piling into the perplexity tail) flags a
+    * domain the LM under-models, exactly the failure CCNet's per-domain
+    * buckets exist to absorb.
+    *
+    * Scale shape: both inputs are per-doc score tables; the equi-join on
+    * doc_id is the one corpus-keyed shuffle (the honest cost of
+    * correlating two signals) and the 4×3 rollup combines map-side. */
+  def signalAgreement(s: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(s, dir).select(col("doc_id"),
+      expr("least(((ttr_permille + stop_permille) div 2) div 250, 3)")
+        .as("quality_band"))
+    val p = lmSurprise(s, dir).select(col("doc_id"), col("bucket"))
+    q.join(p, Seq("doc_id"))
+      .groupBy("quality_band", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  /** Defined after lmSurpriseSql (object vals initialize in order). */
+  lazy val signalAgreementSql: String =
+    s"""WITH q AS (${qualityScoreSql.replace("\n", "\n  ")}),
+       |p AS (${lmSurpriseSql.replace("\n", "\n  ")})
+       |SELECT LEAST(((ttr_permille + stop_permille) // 2) // 250,
+       |    CAST(3 AS BIGINT)) AS quality_band,
+       |  bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM q JOIN p USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   val lmSurpriseSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

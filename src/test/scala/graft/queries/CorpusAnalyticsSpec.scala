@@ -35,6 +35,56 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       "KL below the floor/interpolation error bound")
   }
 
+  test("q80 winnowing: the local-fingerprint guarantee holds — any " +
+       "shared >=6-token run between two documents shares a fingerprint; " +
+       "density sits near winnowing's expected 2/(w+1)") {
+    val rows = DedupOps.winnowing(spark, dir).collect()
+    assert(rows.length > 400)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)) }
+    // density: per-doc expected ~2/(w+1) = 400000 ppm; corpus mean close
+    val mean = rows.map(_.getLong(3)).sum / rows.length
+    assert(mean > 250000 && mean < 650000, s"mean density $mean ppm")
+    // the guarantee, exercised directly: take two docs, splice a shared
+    // 8-token run into both, and check the fingerprint sets intersect
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"sharedtok$i").mkString(" ")
+    val spliced = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two three four $run five six")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winnow")
+    spliced.write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    // both docs clear the >=6-token gate, so winnowing(tmp) covers them;
+    // recompute the raw fingerprint SETS (the op only emits the md5 proof)
+    assert(DedupOps.winnowing(spark, tmp.toString).count() == 2)
+    val sets = spark.read.parquet(tmp.resolve("documents.parquet").toString)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("g", expr(
+        "transform(sequence(1, size(toks) - 2), i -> md5(concat_ws(' ', " +
+          "element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2))))"))
+      .withColumn("sel", expr(
+        "array_distinct(transform(sequence(1, size(g) - 3), " +
+          "j -> array_min(slice(g, j, 4))))"))
+      .select("doc_id", "sel").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sets(1L).intersect(sets(2L)).nonEmpty,
+      "spliced 8-token run produced no shared fingerprint")
+  }
+
+  test("q81 signal agreement: cell counts sum to the scored corpus and " +
+       "bands/terciles take only legal values") {
+    val m = TextOps.signalAgreement(spark, dir).collect()
+    val total = m.map(_.getLong(2)).sum
+    val scored = TextOps.lmSurprise(spark, dir).count()
+    assert(total == scored, s"cross-tab covers $total of $scored docs")
+    assert(m.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 3))
+    assert(m.forall(r => Set("head", "middle", "tail")(r.getString(1))))
+    assert(m.map(_.getString(1)).toSet.size == 3,
+      "a perplexity tercile is empty")
+  }
+
   test("q78 copy matrix: totals reconcile with q12 candidates and q13 " +
        "verified dups; cells are source-normalized") {
     val m = DedupOps.copyMatrix(spark, dir)

@@ -486,6 +486,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q80 winnowing: one narrow per-row expression chain — ZERO " +
+       "exchanges, no explode") {
+    val p = planOf(DedupOps.winnowing(spark, dir))
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Generate"), p.take(1200))
+  }
+
+  test("q81 signal agreement: the only corpus-keyed shuffle is the " +
+       "doc_id signal join; the 4×3 rollup combines map-side; model " +
+       "tables stay broadcast") {
+    val p = planOf(TextOps.signalAgreement(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
