@@ -104,6 +104,8 @@ object SparkEntry {
     "q79_bucket_balance"-> (CorpusOps.bucketBalance _),
     "q80_winnowing"     -> (DedupOps.winnowing _),
     "q81_signal_agree"  -> (TextOps.signalAgreement _),
+    "q82_split_leakage" -> (CorpusOps.splitLeakage _),
+    "q83_span_mask"     -> (TextOps.spanMask _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -204,6 +206,8 @@ object SparkEntry {
     "q79_bucket_balance"-> CorpusOps.bucketBalanceSql,
     "q80_winnowing"     -> DedupOps.winnowingSql,
     "q81_signal_agree"  -> TextOps.signalAgreementSql,
+    "q82_split_leakage" -> CorpusOps.splitLeakageSql,
+    "q83_span_mask"     -> TextOps.spanMaskSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

@@ -513,6 +513,83 @@ object CorpusOps {
       |  (n_tokens * 32 * 1000000) // tot_tokens AS tok_load_ppm
       |FROM per CROSS JOIN tot""".stripMargin
 
+  /** q82: train/val/test split with a near-dup leakage audit — the final
+    * assignment step of corpus construction plus the check that makes it
+    * sound: docs split 90/5/5 by a deterministic content-independent hash
+    * (split by doc identity, so replicated text can land on both sides —
+    * which is exactly what the audit measures), then every LSH candidate
+    * pair (q12) that CROSSES the train boundary is counted as leakage.
+    * Near-duplicate train→eval contamination is the published failure
+    * mode behind decontaminated splits (GPT-3 app. C, Llama 2 app. A.6);
+    * this op quantifies it per (split_a, split_b) cell with candidate and
+    * verified-dup counts so the pipeline can decide to re-split or scrub.
+    *
+    * Scale shape: the split is a per-row hash (no shuffle); the audit
+    * reuses q12's candidate stream (shuffles ∝ candidates) and rolls up
+    * into a ≤9-cell matrix map-side. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split_ = docs(s, dir).select(col("doc_id"),
+      (conv(substring(sha2(concat(lit("split:"),
+          col("doc_id").cast("string")), 256), 1, 8), 16, 10)
+        .cast("long") % 100).as("b"))
+      .withColumn("split", expr(
+        "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'" +
+          " ELSE 'test' END"))
+      .select("doc_id", "split")
+    val toks = docs(s, dir).select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    DedupOps.lshCandidatePairs(s, dir)
+      .join(split_.select(col("doc_id").as("doc_a"),
+        col("split").as("sp_a")), Seq("doc_a"))
+      .join(split_.select(col("doc_id").as("doc_b"),
+        col("split").as("sp_b")), Seq("doc_b"))
+      .join(toks.select(col("doc_id").as("doc_a"),
+        col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"),
+        col("toks").as("toks_b")), Seq("doc_b"))
+      .select(
+        least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"),
+        when(size(array_intersect(col("toks_a"), col("toks_b"))) * 2 >=
+             size(array_union(col("toks_a"), col("toks_b"))), 1L)
+          .otherwise(0L).as("is_dup"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        sum(col("is_dup")).cast("long").as("n_dups"))
+      .withColumn("cross_split",
+        when(col("split_a") =!= col("split_b"), lit(1L)).otherwise(lit(0L)))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH pairs AS (${DedupOps.lshCandidatePairsSql.replace("\n", "\n  ")}),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(sha256('split:' || doc_id), 1, 8))::BIGINT
+       |            % 100 AS b
+       |        FROM documents)),
+       |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |      FROM documents),
+       |cell AS (
+       |  SELECT LEAST(sa.split, sb.split) AS split_a,
+       |    GREATEST(sa.split, sb.split) AS split_b,
+       |    CASE WHEN len(list_intersect(a.toks, b.toks)) * 2 >=
+       |      len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+       |      THEN 1 ELSE 0 END AS is_dup
+       |  FROM pairs p
+       |  JOIN sp sa ON p.doc_a = sa.doc_id
+       |  JOIN sp sb ON p.doc_b = sb.doc_id
+       |  JOIN d a ON p.doc_a = a.doc_id
+       |  JOIN d b ON p.doc_b = b.doc_id)
+       |SELECT split_a, split_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       |  CASE WHEN split_a <> split_b THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS cross_split
+       |FROM cell GROUP BY 1, 2""".stripMargin
+
   /** q74: overlapping document chunking — the retrieval/long-context prep
     * step (RAG corpora, long-doc training): each document is cut into
     * L=64-token windows at stride 48 (16-token overlap, so no boundary

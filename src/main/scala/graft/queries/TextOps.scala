@@ -651,6 +651,55 @@ object TextOps {
           " ELSE 'middle' END").as("bucket"))
   }
 
+  /** q83: span-corruption mask plan — the data-prep step of denoising
+    * pretraining (T5/UL2 span corruption): a deterministic ~15% of each
+    * document's tokens is selected for masking in block-aligned 3-token
+    * spans (block b masked iff hash(doc, b) mod 20 < 3 — content-
+    * independent, so the plan is reproducible across engines and epochs
+    * without an RNG state). Output per doc: token/span/masked counts, the
+    * realized mask rate in ppm, and an md5 proof over the masked tokens
+    * in document order (the q49/q67 idiom).
+    *
+    * Scale shape: one narrow per-row expression chain — no explode, no
+    * shuffle; the mask plan streams straight into the training writer. */
+  def spanMask(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("mb", expr(
+        "filter(sequence(cast(0 as bigint), (size(toks) - 1) div 3), b -> " +
+          "(cast(conv(substring(sha2(concat('mask:', " +
+          "cast(doc_id as string), ':', cast(b as string)), 256), " +
+          "1, 8), 16, 10) as bigint) % 20) < 3)"))
+      .withColumn("masked", expr(
+        "filter(toks, (t, i) -> array_contains(mb, i div 3))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("mb")).cast("long").as("n_spans"),
+        size(col("masked")).cast("long").as("n_masked"),
+        expr("(cast(size(masked) as bigint) * 1000000) div " +
+          "cast(size(toks) as bigint)").as("mask_ppm"),
+        expr("md5(concat_ws(' ', masked))").as("mask_md5"))
+
+  val spanMaskSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |m AS (SELECT doc_id, toks,
+      |        list_filter(generate_series(0, (len(toks) - 1) // 3),
+      |          b -> (('0x' || substr(sha256('mask:' || doc_id || ':' || b),
+      |            1, 8))::BIGINT % 20) < 3) AS mb
+      |      FROM t),
+      |x AS (SELECT doc_id, toks, mb,
+      |        [toks[i] for i in generate_series(1, len(toks))
+      |         if list_contains(mb, (i - 1) // 3)] AS masked
+      |      FROM m)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(mb) AS BIGINT) AS n_spans,
+      |  CAST(len(masked) AS BIGINT) AS n_masked,
+      |  (CAST(len(masked) AS BIGINT) * 1000000)
+      |    // CAST(len(toks) AS BIGINT) AS mask_ppm,
+      |  md5(COALESCE(array_to_string(masked, ' '), '')) AS mask_md5
+      |FROM x""".stripMargin
+
   /** q81: quality-signal agreement matrix — the calibration cross-tab
     * between two independent quality signals (q21's lexical score, banded
     * at 250‰, and q65's LM-perplexity tercile): how many documents land

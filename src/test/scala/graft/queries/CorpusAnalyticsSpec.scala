@@ -85,6 +85,50 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       "a perplexity tercile is empty")
   }
 
+  test("q82 split leakage: totals reconcile with q12, splits are legal " +
+       "and hash-stable, and cross_split flags exactly the mixed cells") {
+    val m = CorpusOps.splitLeakage(spark, dir).collect()
+    val legal = Set("train", "val", "test")
+    assert(m.forall(r => legal(r.getString(0)) && legal(r.getString(1))))
+    assert(m.forall(r => r.getString(0) <= r.getString(1)))
+    assert(m.forall(r =>
+      (r.getLong(4) == 1L) == (r.getString(0) != r.getString(1))))
+    assert(m.map(_.getLong(2)).sum ==
+      DedupOps.lshCandidatePairs(spark, dir).count())
+    // the 90/5/5 hash split puts most candidate mass in train×train
+    val tt = m.find(r => r.getString(0) == "train" && r.getString(1) == "train")
+    assert(tt.nonEmpty && tt.get.getLong(2) >= m.map(_.getLong(2)).max / 2)
+  }
+
+  test("q83 span mask: block arithmetic replays exactly and the corpus " +
+       "mask rate sits near the designed 15%") {
+    val rows = TextOps.spanMask(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def blockMasked(docId: Long, b: Long): Boolean = {
+      val h = md.digest(s"mask:$docId:$b".getBytes("UTF-8"))
+        .take(4).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(h, 16) % 20 < 3
+    }
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ")
+      val mb = (0L to (toks.length - 1) / 3).filter(blockMasked(r.getLong(0), _))
+      val masked = toks.zipWithIndex.collect {
+        case (t, i) if mb.contains(i / 3L) => t }
+      assert(r.getLong(1) == toks.length && r.getLong(2) == mb.length &&
+        r.getLong(3) == masked.length, s"doc ${r.getLong(0)} counts")
+      val proof = java.security.MessageDigest.getInstance("MD5")
+        .digest(masked.mkString(" ").getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      assert(r.getString(5) == proof, s"doc ${r.getLong(0)} proof")
+    }
+    val rate = rows.map(_.getLong(3)).sum * 1000 / rows.map(_.getLong(1)).sum
+    assert(rate > 100 && rate < 200, s"corpus mask rate ${rate}permille")
+  }
+
   test("q78 copy matrix: totals reconcile with q12 candidates and q13 " +
        "verified dups; cells are source-normalized") {
     val m = DedupOps.copyMatrix(spark, dir)

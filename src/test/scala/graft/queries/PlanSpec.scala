@@ -501,6 +501,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("q82 split leakage: candidate-bounded equi-joins only — no " +
+       "CartesianProduct; the <=9-cell matrix combines map-side") {
+    val p = planOf(CorpusOps.splitLeakage(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("band_hash"), p.take(1500))
+  }
+
+  test("q83 span mask: one narrow per-row expression chain — ZERO " +
+       "exchanges, no explode") {
+    val p = planOf(TextOps.spanMask(spark, dir))
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Generate"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
