@@ -432,7 +432,11 @@ final class CrawlDriver(
       metrics = pendingMetrics ++ Map(
         "frontier_rows" -> fState.rows,
         "hosts_rows"    -> hState.rows,
-        "log_rows"      -> lState.rows)))
+        "log_rows"      -> lState.rows,
+        // the COW commit granularity: a resume at a different modulus
+        // would silently duplicate keys across bucket dirs — resume()
+        // require()s this match (ADVICE r3)
+        "num_buckets"   -> numBuckets.toLong)))
 
     pendingF = Vector.empty; pendingH = Vector.empty
     pendingL = Vector.empty; pendingE = Vector.empty
@@ -449,6 +453,17 @@ final class CrawlDriver(
     val st = store.getOrElse(return false)
     val snap = version.map(st.load)
       .orElse(st.loadLatest()).getOrElse(return false)
+    // fail fast on a bucket-modulus mismatch: the store is laid out mod
+    // `stored` — a driver hashing mod `numBuckets` would merge each changed
+    // bucket against the WRONG previous files and duplicate keys across
+    // bucket dirs (the corruption rebucket exists to prevent). Manifests
+    // predating the num_buckets metric resume unchecked (best effort).
+    snap.metrics.get("num_buckets").foreach { stored =>
+      require(stored == numBuckets.toLong,
+        s"snapshot v${snap.version} is bucketed mod $stored but this driver " +
+        s"hashes mod $numBuckets — run `Maintain rebucket $numBuckets` on " +
+        "the store (or resume with numBuckets = " + stored + ")")
+    }
     snapshot = Some(snap)
     def cow[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] =
       st.readCow(spark, snap, table,
@@ -553,15 +568,24 @@ final class CrawlDriver(
                    partition: Option[String] = None): Long = {
     val byRoot: Option[String] =
       rootUrl.flatMap(Urls.canonicalRoot).map(Urls.urlHash)
-    // the label→roots set is host-table-sized metadata (driver-small, like
-    // the mq consumer's scan), broadcast into the row filter
-    val labelRoots: Option[Set[String]] = partition.map { p =>
-      hosts.filter(col("partition") === p)
-        .select(col("root_hash")).as[String].collect().toSet
+    // derive each page's root hash ON THE EXECUTORS (K5+K1), then scope:
+    // a single-root filter is a row predicate; a partition-label scope is
+    // a broadcast LEFT SEMI join against the label's root_hash slice —
+    // never a collect() of the matching roots to the driver (a label over
+    // 10^7 hosts would be a ~GB driver set; the semi-join costs the same
+    // broadcast and materializes nothing driver-side — VERDICT r3 #4)
+    val keyed: Dataset[(String, CrawlRound.PageStoreRow)] = pages.map { p =>
+      (Urls.canonicalRoot(p.url).map(Urls.urlHash).getOrElse(""), p)
     }
-    val sel = pages.filter { p =>
-      val rh = Urls.canonicalRoot(p.url).map(Urls.urlHash).getOrElse("")
-      byRoot.forall(_ == rh) && labelRoots.forall(_.contains(rh))
+    val rootScoped = byRoot.fold(keyed)(rh => keyed.filter(_._1 == rh))
+    val sel: Dataset[CrawlRound.PageStoreRow] = partition match {
+      case None => rootScoped.map(_._2)
+      case Some(lbl) =>
+        val roots = hosts.filter(col("partition") === lbl)
+          .select(col("root_hash"))
+        rootScoped.toDF("rh", "page")
+          .join(broadcast(roots), col("rh") === col("root_hash"), "left_semi")
+          .select("page.*").as[CrawlRound.PageStoreRow]
     }
     val log = fetchLog
     val withStatus = sel.joinWith(log, sel("url_hash") === log("url_hash"),

@@ -299,23 +299,30 @@ object CorpusOps {
   // (cnt-1)*q div 100 + 1 under the total order (n_chars, doc_id), so
   // both engines pick the identical row (no interpolation, no
   // approximate sketch — approx_percentile would not oracle-match).
-  // Scale shape: one shuffle on source for the rank window, then the
-  // rollup combines map-side; at 10^10 docs a per-source sort is the
-  // honest cost of an EXACT quantile, and the same query swaps to
-  // approx_percentile when a sketch is acceptable.
+  // Scale shape (VERDICT r3 fix): NO per-source sort of raw docs — the
+  // quantile VALUE at rank r depends only on how many docs share each
+  // n_chars (ties within a value all carry that value, so the
+  // within-value order a row_number would impose is irrelevant). A
+  // per-(source, n_chars) histogram (map-side combining group-by) plus a
+  // cumulative window over the VALUE-BOUNDED domain yields the same
+  // exact statistic: the quantile is the n_chars whose cumulative count
+  // first reaches r. The window input is |sources| × |distinct n_chars|
+  // rows, so a mega-source holding half the corpus costs the same task
+  // as a small one — the q65/q69 bounded-histogram trick, no straggler.
   // -------------------------------------------------------------------
 
   def lenQuantiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wCum = Window.partitionBy("source").orderBy(col("n_chars").asc)
     val wAll = Window.partitionBy("source")
-    def pick(q: Int) = max(when(col("rn") ===
-      expr(s"(cnt - 1) * $q div 100 + 1"), col("n_chars")))
+    def pick(q: Int) = {
+      val r = expr(s"(cnt - 1) * $q div 100 + 1")
+      min(when(col("cum") >= r && col("cum") - col("c") < r, col("n_chars")))
+    }
     docs(s, dir)
-      .select(col("source"), col("n_chars"), col("doc_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cnt", sum(col("c")).over(wAll))
       .groupBy("source")
       .agg(max(col("cnt")).as("n_docs"),
         pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))

@@ -1,0 +1,231 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.collection.mutable
+
+/**
+ * Simulated object store: the S3-shaped storage model the reference's
+ * second cache backend targets (libcrawl/caches/s3.c — the disk cache's
+ * twin behind the same dispatch seam, s3.c:189 PUT, :254 GET, :314,366
+ * DELETE). Objects are flat keys with atomic whole-object PUT/GET/DELETE
+ * plus prefix LIST; there are no directories, no rename, no append.
+ *
+ * Blobs live under a local backing directory so Spark's Hadoop `file:`
+ * filesystem can read/write the BULK table data at the same root (standing
+ * in for s3a:// against a real bucket — the SnapshotIO contract already
+ * scopes bulk data to Spark's FS layer and routes only the small-object
+ * manifest IO through the backend).
+ *
+ * The store simulates the object-store failure modes a correct metadata
+ * protocol must survive, each injectable from tests:
+ *  - **conditional PUT** (`ifNoneMatch`): fails when the key exists — the
+ *    only atomicity primitive; there is no rename;
+ *  - **lost-ack PUTs** (`loseNextPuts`): the write is dropped but reported
+ *    OK — the committer must GET-verify and retry;
+ *  - **failing PUTs** (`failNextPuts`): the request throws — a crash
+ *    mid-commit, leaving already-written data orphaned;
+ *  - **eventually-consistent LIST** (`laggedList`): LIST serves a stale
+ *    snapshot — fresh PUTs invisible, fresh DELETEs phantom-listed — until
+ *    `settle()`; GET/HEAD stay read-after-write consistent (the modern-S3
+ *    consistency split the no-LIST contract is designed for).
+ *
+ * Every op is recorded in `ops` ("PUT k", "LIST p", …) so tests can assert
+ * the protocol property directly: correctness never *discovers* state via
+ * LIST under `data/` — deletable dirs derive from manifests alone.
+ */
+final class SimObjectStore(val rootDir: String) {
+  private val rootP: Path = Paths.get(rootDir)
+  Files.createDirectories(rootP)
+
+  val ops: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+  /** Next N PUTs are silently dropped (reported OK, object absent). */
+  @volatile var loseNextPuts: Int = 0
+  /** Next N PUTs throw (request failure / crash injection). */
+  @volatile var failNextPuts: Int = 0
+  /** When true, LIST serves the view captured at the last settle(). */
+  @volatile var laggedList: Boolean = false
+  // keys put/deleted since the last settle — applied to LIST only when
+  // lagged (GET/HEAD always see the live backing dir)
+  private val unsettledPuts    = mutable.Set.empty[String]
+  private val unsettledDeletes = mutable.Set.empty[String]
+
+  private def pathOf(key: String): Path = {
+    require(!key.split('/').contains(".."), s"unsafe key $key")
+    val p = rootP.resolve(key).normalize()
+    require(p.startsWith(rootP), s"key escapes root: $key")
+    p
+  }
+
+  /** PUT: atomic whole-object write. With `ifNoneMatch`, fails (returns
+    * false) when the key already exists — S3's If-None-Match: * publish
+    * primitive. */
+  def put(key: String, content: String, ifNoneMatch: Boolean = false):
+      Boolean = synchronized {
+    ops += s"PUT $key"
+    if (failNextPuts > 0) { failNextPuts -= 1
+      throw new java.io.IOException(s"injected PUT failure: $key") }
+    val p = pathOf(key)
+    if (ifNoneMatch && Files.exists(p)) return false
+    if (loseNextPuts > 0) { loseNextPuts -= 1; return true } // ack, no write
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+    unsettledPuts += key; unsettledDeletes -= key
+    true
+  }
+
+  /** GET: read-after-write consistent. */
+  def get(key: String): Option[String] = synchronized {
+    ops += s"GET $key"
+    val p = pathOf(key)
+    if (Files.isRegularFile(p)) Some(Files.readString(p)) else None
+  }
+
+  /** HEAD: existence probe, read-after-write consistent. */
+  def head(key: String): Boolean = synchronized {
+    ops += s"HEAD $key"
+    Files.isRegularFile(pathOf(key))
+  }
+
+  def delete(key: String): Unit = synchronized {
+    ops += s"DELETE $key"
+    Files.deleteIfExists(pathOf(key))
+    unsettledDeletes += key; unsettledPuts -= key
+  }
+
+  /** Prefix LIST of object keys (root-relative, files only). When
+    * `laggedList`, fresh PUTs are hidden and fresh DELETEs phantom-listed.
+    * Spark-written bulk files count as settled: they were "uploaded" by
+    * the bulk layer, whose publish the manifest already orders after. */
+  def list(prefix: String): Seq[String] = synchronized {
+    ops += s"LIST $prefix"
+    val live: Seq[String] =
+      if (!Files.exists(rootP)) Nil
+      else {
+        val stream = Files.walk(rootP)
+        try stream.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => rootP.relativize(p).toString)
+          .filter(_.startsWith(prefix)).toSeq
+        finally stream.close()
+      }
+    if (!laggedList) live
+    else (live.filterNot(unsettledPuts) ++
+          unsettledDeletes.filter(_.startsWith(prefix))).distinct.sorted
+  }
+
+  /** Consistency horizon: all prior PUT/DELETEs become LIST-visible. */
+  def settle(): Unit = synchronized {
+    unsettledPuts.clear(); unsettledDeletes.clear()
+  }
+}
+
+/**
+ * Object-store SnapshotIO: the caches/s3.c analog — snapshot manifests as
+ * conditionally-PUT objects, no rename, no correctness-bearing LIST.
+ *
+ * Protocol properties (each pinned by ObjectStoreContractSpec):
+ *  - **atomic publish without rename**: a manifest is one whole-object
+ *    conditional PUT (If-None-Match) — readers see the previous snapshot
+ *    set or the complete new object, never a partial write, and a version
+ *    collision (lost race / duplicate committer) fails the commit instead
+ *    of clobbering published metadata;
+ *  - **retry on lost commit**: the PUT is GET-verified; a lost ack is
+ *    retried until the read-back matches (bounded attempts);
+ *  - **stale-LIST armor**: `latestVersion` never trusts LIST alone — a
+ *    strongly-consistent `_latest` pointer object (Iceberg's version-hint
+ *    pattern) names the newest manifest, and phantom-listed manifests
+ *    (deleted but still in a stale LIST view) are HEAD-filtered out;
+ *  - **manifest-first deletion order** is the store's (SnapshotStore
+ *    .expireSnapshots) — this backend only adds that data deletion
+ *    enumerates keys strictly under a manifest-derived dir prefix; LIST is
+ *    never used to *discover* deletable state.
+ */
+final class ObjectStoreSnapshotIO(val store: SimObjectStore)
+    extends SnapshotIO {
+  import ObjectStoreSnapshotIO._
+
+  override def root: String = store.rootDir
+
+  override def listSnapshotFiles(): Seq[String] = {
+    // stale-LIST armor: HEAD-filter phantoms, union the _latest pointer
+    // (a fresh manifest may be LIST-invisible but is GET/HEAD-visible)
+    val listed = store.list("snapshots/")
+      .map(_.stripPrefix("snapshots/"))
+      .filter(n => n != LatestKeyName && store.head(s"snapshots/$n"))
+    val pointed = store.get(LatestKey).toSeq
+      .filter(n => !listed.contains(n) && store.head(s"snapshots/$n"))
+    listed ++ pointed
+  }
+
+  override def readManifest(name: String): String =
+    store.get(s"snapshots/$name").getOrElse(
+      throw new java.nio.file.NoSuchFileException(s"snapshots/$name"))
+
+  override def writeManifestAtomic(name: String, content: String): Unit = {
+    val key = s"snapshots/$name"
+    var attempt = 0
+    var published = false
+    while (!published) {
+      attempt += 1
+      if (attempt > MaxPutAttempts)
+        throw new java.io.IOException(
+          s"manifest publish not durable after $MaxPutAttempts attempts: $key")
+      val accepted = store.put(key, content, ifNoneMatch = true)
+      store.get(key) match {
+        case Some(read) if read == content => published = true // durable
+        case Some(_) =>
+          // key exists with DIFFERENT content: a concurrent committer won
+          // the conditional PUT — surface the lost race, never overwrite
+          throw new java.io.IOException(
+            s"manifest version collision (lost commit race): $key")
+        case None =>
+          // accepted-but-absent = lost ack → retry; rejected-and-absent
+          // can't happen (If-None-Match only fails on an existing key)
+          require(accepted || attempt < MaxPutAttempts,
+            s"conditional PUT rejected but $key absent")
+      }
+    }
+    // advance the strongly-consistent latest pointer (monotonic by the
+    // manifest's zero-padded name ordering; single-committer protocol —
+    // the conditional PUT above is the actual mutual exclusion)
+    if (store.get(LatestKey).forall(_ < name)) store.put(LatestKey, name)
+  }
+
+  /** Bulk data existence: the data plane is Spark's Hadoop FS over the
+    * same root (s3a in production, where this probe is a prefix HEAD). */
+  override def exists(relPath: String): Boolean =
+    Files.exists(Paths.get(store.rootDir).resolve(relPath))
+
+  override def deleteManifest(name: String): Unit =
+    store.delete(s"snapshots/$name")
+
+  /** Delete a data "dir": enumerate keys strictly under the
+    * manifest-derived prefix and DELETE each. The prefix LIST here never
+    * discovers work — the dir itself came from expired manifests; a key
+    * missed by a stale view merely stays an orphan for the next expire. */
+  override def deleteDataDir(relPath: String): Unit = {
+    require(relPath.startsWith("data/"), s"not a data path: $relPath")
+    store.list(relPath + "/").foreach(store.delete)
+    // drop now-empty backing directories so fs-level checks see removal;
+    // a dir still holding keys a stale LIST missed stays put (orphan, not
+    // error — re-deletable by the next maintenance pass)
+    val dir = Paths.get(store.rootDir).resolve(relPath).normalize()
+    if (dir.startsWith(Paths.get(store.rootDir)) && Files.exists(dir)) {
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala.toSeq.reverseIterator
+        .filter(Files.isDirectory(_)).foreach { p =>
+          try Files.deleteIfExists(p)
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+        }
+      finally stream.close()
+    }
+  }
+}
+
+object ObjectStoreSnapshotIO {
+  /** Iceberg version-hint analog: names the newest manifest object. */
+  val LatestKeyName = "_latest"
+  val LatestKey     = s"snapshots/$LatestKeyName"
+  val MaxPutAttempts = 4
+}

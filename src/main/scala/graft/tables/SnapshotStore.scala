@@ -250,10 +250,16 @@ final class SnapshotStore(val io: SnapshotIO) {
           val all = prevDf.map(_.unionByName(delta)).getOrElse(delta)
           val w = Window.partitionBy(keyCols.map(col).toIndexedSeq: _*)
             .orderBy(col("_pi").desc)
+          // mode overwrite = crash-retry safety: a commit that wrote data
+          // but died before the manifest PUT leaves orphan dirs at THIS
+          // version; the retry (same version — the manifest was never
+          // published, so the number can't have been claimed) overwrites
+          // them. Published versions are never rewritten: the manifest
+          // publish is a conditional PUT, so a version name is won once.
           all.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1)
             .drop("_pi", "_rn")
-            .write.partitionBy("bucket").parquet(dir)
+            .write.mode("overwrite").partitionBy("bucket").parquet(dir)
           // an empty bucket writes no directory — drop its pointer
           val written = changed.filter(b => io.exists(s"$relDir/bucket=$b"))
           (prevBuckets -- changed) ++ written.map(b => b -> s"$dir/bucket=$b")
@@ -264,7 +270,7 @@ final class SnapshotStore(val io: SnapshotIO) {
     val appends = appendData.map { case (table, df) =>
       val prevPaths = prev.flatMap(_.appends.get(table)).getOrElse(Nil)
       val dir = io.resolve(s"data/$table/" + f"v$version%06d")
-      df.write.parquet(dir)
+      df.write.mode("overwrite").parquet(dir)
       table -> (prevPaths :+ dir)
     }
 
@@ -336,7 +342,7 @@ final class SnapshotStore(val io: SnapshotIO) {
     val dir = io.resolve(s"data/$table/" + f"v$version%06d")
     spark.read.parquet(paths: _*)
       .coalesce(spark.sparkContext.defaultParallelism)
-      .write.parquet(dir)
+      .write.mode("overwrite").parquet(dir)
     val out = snap.copy(version = version,
       appends = snap.appends.updated(table, Seq(dir)))
     writeManifest(out)
@@ -361,7 +367,7 @@ final class SnapshotStore(val io: SnapshotIO) {
     buckets.toSeq.sortBy(_._1).map { case (b, p) =>
       spark.read.parquet(p).withColumn("bucket", lit(b))
     }.reduce(_ unionByName _)
-      .write.partitionBy("bucket").parquet(dir)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     val np = buckets.keys.map(b => b -> s"$dir/bucket=$b").toMap
     val out = snap.copy(version = version, cow = snap.cow.updated(table, np))
     writeManifest(out)
@@ -393,15 +399,24 @@ final class SnapshotStore(val io: SnapshotIO) {
       else {
         val relDir = s"data/$table/" + f"v$version%06d"
         val dir = io.resolve(relDir)
+        // shuffle to the new bucketing BEFORE partitionBy: without it each
+        // input partition can emit a file into every new bucket dir
+        // (≈ oldFiles × newBuckets small files, compounding per resize —
+        // the overlay partition-bloat cost); with it each bucket dir gets
+        // O(1) files
         spark.read.parquet(buckets.values.toSeq: _*)
           .withColumn("bucket", bucketCol(table))
-          .write.partitionBy("bucket").parquet(dir)
+          .repartition(newBuckets, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(dir)
         val written = (0 until newBuckets)
           .filter(b => io.exists(s"$relDir/bucket=$b"))
         table -> written.map(b => b -> s"$dir/bucket=$b").toMap
       }
     }
-    val out = snap.copy(version = version, cow = cow)
+    // record the new modulus: resume fails fast on a mismatched driver
+    // instead of silently corrupting later COW commits
+    val out = snap.copy(version = version, cow = cow,
+      metrics = snap.metrics.updated("num_buckets", newBuckets.toLong))
     writeManifest(out)
     Some(out)
   }

@@ -274,4 +274,32 @@ class CorpusOpsSpec extends SparkTestBase {
     val restKeep = rest.count(_._5 == 1L).toDouble / rest.length
     assert(enKeep > restKeep, s"en $enKeep !> rest $restKeep")
   }
+
+  test("q50: histogram quantiles ≡ straight-line sort-and-rank on a " +
+       "mega-source fixture (one source = 50% of all docs, heavy ties)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q50-skew")
+      .toString
+    // 4000 docs; 'mega' holds half the corpus; n_chars domain bounded to
+    // 50 distinct values so every value carries many tied docs — the case
+    // where rank-within-value could diverge if the histogram form were
+    // not the identical statistic
+    val rows = (0 until 4000).map { i =>
+      val source = if (i < 2000) "mega" else s"s${i % 7}"
+      (i.toLong, source, (i * 37 % 50 + 10).toLong)
+    }
+    rows.toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = CorpusOps.lenQuantiles(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expect = rows.groupBy(_._2).map { case (src, rs) =>
+      val sorted = rs.map(_._3).sorted
+      val n = sorted.length.toLong
+      def q(p: Int) = sorted(((n - 1) * p / 100).toInt)
+      src -> ((n, q(50), q(90), q(99)))
+    }
+    assert(got == expect)
+    assert(got("mega")._1 == 2000L)
+  }
 }

@@ -250,10 +250,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("n_chars") && !p.contains("lang"), p.take(1200))
   }
 
-  test("q50 quantiles: ONE shuffle on source shared by the rank window " +
-       "and the rollup; text never read") {
+  test("q50 quantiles: NO per-source row-number sort over raw docs — the " +
+       "cumulative window runs over the value-bounded histogram (a " +
+       "map-side-combining aggregate below it); text never read") {
     val p = planOf(CorpusOps.lenQuantiles(spark, dir))
-    assert("hashpartitioning\\(source".r.findAllIn(p).size == 1, p)
+    // the r3 scale-killer: row_number over Window.partitionBy(source) put
+    // an entire mega-source into one sort task
+    assert(!p.contains("row_number"), p.take(1200))
+    // histogram combines map-side before any exchange
+    assert(p.contains("partial_count"), p.take(1200))
+    // source shuffles: histogram group-by + window repartition, no third
+    assert("hashpartitioning\\(source".r.findAllIn(p).size <= 2, p)
     assert(!p.contains("text"), p.take(1200))
   }
 

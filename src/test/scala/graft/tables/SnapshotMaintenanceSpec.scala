@@ -22,6 +22,10 @@ import graft.sim.FixtureWeb
 class SnapshotMaintenanceSpec extends SparkTestBase {
   val T0 = 1000000L
 
+  /** Backend under test — overridden by the object-store twin suite. */
+  protected def makeStore(rootDir: String): SnapshotStore =
+    new SnapshotStore(rootDir)
+
   private def freshDriver(store: SnapshotStore): CrawlDriver = {
     val d = new CrawlDriver(spark, FixtureWeb.config(),
       CrawlRound.webFromMap(spark, FixtureWeb.generate()), Some(store),
@@ -33,7 +37,7 @@ class SnapshotMaintenanceSpec extends SparkTestBase {
   test("compact + expire: content preserved, only unreferenced version " +
        "dirs deleted, resume green from the maintained store") {
     val root = Files.createTempDirectory("graft-snap-maint").toString
-    val st = new SnapshotStore(root)
+    val st = makeStore(root)
     val drv = freshDriver(st)
     drv.run(T0, 6) // checkpointEvery=1 → one snapshot version per round
     val versionsBefore = st.latestVersion.get
@@ -79,7 +83,7 @@ class SnapshotMaintenanceSpec extends SparkTestBase {
   test("expire keeps a version dir shared between expired and retained " +
        "snapshots (carried-forward bucket pointers)") {
     val root = Files.createTempDirectory("graft-snap-share").toString
-    val st = new SnapshotStore(root)
+    val st = makeStore(root)
     val drv = freshDriver(st)
     drv.run(T0, 5)
     val latest = st.loadLatest().get
@@ -106,7 +110,7 @@ class SnapshotMaintenanceSpec extends SparkTestBase {
 
     // crawl half at 8 buckets, checkpointing every round
     val root = Files.createTempDirectory("graft-snap-rebucket").toString
-    val st = new SnapshotStore(root)
+    val st = makeStore(root)
     val drv = freshDriver(st) // numBuckets = 8
     drv.run(T0, 5)
 

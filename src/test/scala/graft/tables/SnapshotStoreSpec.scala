@@ -21,6 +21,11 @@ import graft.sim.FixtureWeb
 class SnapshotStoreSpec extends SparkTestBase {
   val T0 = 1000000L
 
+  /** Backend under test — overridden by the object-store twin suite so
+    * every scenario here also proves the caches/s3.c-analog backend. */
+  protected def makeStore(rootDir: String): SnapshotStore =
+    new SnapshotStore(rootDir)
+
   def freshDriver(store: SnapshotStore, every: Int = 4): CrawlDriver = {
     val d = new CrawlDriver(spark, FixtureWeb.config(),
       CrawlRound.webFromMap(spark, FixtureWeb.generate()), Some(store),
@@ -56,7 +61,7 @@ class SnapshotStoreSpec extends SparkTestBase {
   test("1-bucket delta commit reads O(bucket), not O(table), and carries " +
        "unchanged pointers forward") {
     val dir = Files.createTempDirectory("graft-snap-incr").toString
-    val st = new SnapshotStore(dir)
+    val st = makeStore(dir)
     val drv = freshDriver(st)
     drv.run(T0, 6) // broad state across many buckets; final auto-checkpoint
     val before = st.loadLatest().get
