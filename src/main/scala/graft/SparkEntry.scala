@@ -22,16 +22,39 @@ object SparkEntry {
 
   /** Flagship: run the crawl engine end-to-end over the deterministic
     * fixture web and return the dequeue trace. */
-  def entry(spark: SparkSession): DataFrame = crawlTrace(spark, 8)
+  def entry(spark: SparkSession): DataFrame = crawlTrace(spark, TraceRounds)
+
+  /** q00 fixture parameters — shared by the engine run and its simulator
+    * oracle twin so the two traces stay comparable. */
+  private val TraceT0     = 1000000L
+  private val TraceRounds = 8
 
   private def crawlTrace(spark: SparkSession, rounds: Int): DataFrame = {
-    val t0 = 1000000L
     val drv = new CrawlDriver(spark, FixtureWeb.config(),
       CrawlRound.webFromMap(spark, FixtureWeb.generate()), store = None)
-    drv.seed(FixtureWeb.seeds, t0 - 1)
-    drv.run(t0, rounds)
+    drv.seed(FixtureWeb.seeds, TraceT0 - 1)
+    drv.run(TraceT0, rounds)
     drv.traceAll.toDF()
   }
+
+  /** The q00 oracle: the same crawl replayed on the pure-Scala serial
+    * simulator (graft.sim.Simulator — the reference-semantics twin the
+    * trace-equality suite pins the engine against). Verify dumps this as
+    * a parquet fixture and points the q00 oracle SQL at it, so the driver
+    * gate hash-compares engine vs simulator like any other query
+    * (VERDICT r3 ask #8 — closes the one `no_oracle` row). */
+  def expectedCrawlTrace(): Seq[graft.core.TraceRow] = {
+    val sim = new graft.sim.Simulator(FixtureWeb.generate(),
+      FixtureWeb.config())
+    FixtureWeb.seeds.foreach(u => sim.addUrl(u, TraceT0 - 1))
+    sim.run(TraceT0, TraceRounds)
+    sim.trace.toSeq
+  }
+
+  /** Placeholder Verify substitutes with its absolute output dir when it
+    * writes oracle_sql.json (the q00 oracle reads the simulator-trace
+    * parquet Verify just dumped there). */
+  val OutDirPlaceholder = "{GRAFT_OUT}"
 
   /** One entry per implemented operator (SURVEY.md §2 + pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -106,6 +129,7 @@ object SparkEntry {
     "q81_signal_agree"  -> (TextOps.signalAgreement _),
     "q82_split_leakage" -> (CorpusOps.splitLeakage _),
     "q83_span_mask"     -> (TextOps.spanMask _),
+    "q84_max_spans"     -> (DedupOps.dupMaxSpans _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -124,12 +148,18 @@ object SparkEntry {
     "q39_pq_codes"      -> (AnnOps.pqCodes _),
     "q41_pq_adc"        -> (AnnOps.pqAdcTopK _),
     // multimodal plumbing
-    "q40_mm_features"   -> (MultimodalOps.docAssetFeatures _),
+    "q40_mm_features"   -> (MultimodalOps.mmFeatures _),
     "q45_mm_sniff"      -> (MultimodalOps.mmSniff _),
   )
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
+    // crawl fixpoint: the oracle is the serial simulator's trace, dumped
+    // by Verify as a parquet fixture next to the results ({GRAFT_OUT} is
+    // substituted with the absolute output dir at dump time)
+    "q00_crawl_trace"   ->
+      ("SELECT seq, round, url, state_at_dequeue " +
+       s"FROM read_parquet('$OutDirPlaceholder/q00_expected.parquet')"),
     "q01_agg_pricing"   -> RelationalOps.aggPricingSql,
     "q02_top_per_user"  -> RelationalOps.topPerUserSql,
     "q03_revenue_nation"-> RelationalOps.revenueByNationSql,
@@ -171,7 +201,7 @@ object SparkEntry {
     "q38_kmeans_topk"   -> AnnOps.kmeansTopKSql,
     "q39_pq_codes"      -> AnnOps.pqCodesSql,
     "q41_pq_adc"        -> AnnOps.pqAdcTopKSql,
-    "q40_mm_features"   -> MultimodalOps.docAssetFeaturesSql,
+    "q40_mm_features"   -> MultimodalOps.mmFeaturesSql,
     "q45_mm_sniff"      -> MultimodalOps.mmSniffSql,
     "q49_pii_redact"    -> TextOps.piiRedactSql,
     "q50_len_quantiles" -> CorpusOps.lenQuantilesSql,
@@ -208,6 +238,7 @@ object SparkEntry {
     "q81_signal_agree"  -> TextOps.signalAgreementSql,
     "q82_split_leakage" -> CorpusOps.splitLeakageSql,
     "q83_span_mask"     -> TextOps.spanMaskSql,
+    "q84_max_spans"     -> DedupOps.dupMaxSpansSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

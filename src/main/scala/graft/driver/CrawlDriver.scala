@@ -34,7 +34,10 @@ final class CrawlDriver(
     web: Dataset[WebRow],
     store: Option[SnapshotStore] = None,
     numBuckets: Int = 16,
-    checkpointEvery: Int = 1) {
+    checkpointEvery: Int = 1,
+    /** Logical seconds between robots-slice refreshes (Long.MaxValue =
+      * derive once, never refresh — the prior behavior). */
+    robotsTtl: Long = Long.MaxValue) {
 
   import spark.implicits._
 
@@ -63,13 +66,39 @@ final class CrawlDriver(
   private var snapshot: Option[SnapshotStore.Snapshot] = None
   private val bloom = new SeenFilter.SeenBloom()
 
-  /** Robots gate input, derived from `web` ONCE and persisted — robots
-    * bodies change on day scales, not round scales, so re-scanning the
-    * web/pages table every round is pure waste (r2 verdict plan-audit
-    * note). Lazy: never touched while the gate is off (the default). */
-  private lazy val robotsCache: Option[Dataset[CrawlRound.RobotsRow]] =
+  /** The live web view — swappable mid-crawl (updateWeb) so tests and
+    * long-running deployments can model content changing under the
+    * crawler. Fetches see a swap on the NEXT ROUND (the round job reads
+    * this reference); the robots gate sees it on the next TTL REFRESH
+    * (see robotsSlice below) — deliberately different cadences. */
+  private var webNow: Dataset[WebRow] = web
+  def updateWeb(w: Dataset[WebRow]): Unit = { webNow = w }
+
+  /** Robots gate input, derived from the web view and persisted, then
+    * REFRESHED on a logical-clock TTL (`robotsTtl` seconds; default
+    * never) — robots bodies change on day scales, not round scales, so
+    * re-scanning the web/pages table every round is pure waste (r2
+    * verdict plan-audit note), but a cache with no refresh would pin a
+    * host's rules for the life of the crawl (VERDICT r3 ask #7). A robots
+    * change therefore takes effect at the next refresh, NOT the next
+    * round — RobotsRefreshSpec pins both sides. Never touched while the
+    * gate is off (the default). */
+  private var robotsCacheSlice: Option[Dataset[CrawlRound.RobotsRow]] = None
+  private var robotsDerivedAt: Long = Long.MinValue
+
+  private def robotsSlice(now: Long): Option[Dataset[CrawlRound.RobotsRow]] =
     if (!cfg.robotsEnabled) None
-    else Some(CrawlRound.robotsFromWeb(spark, web).persist())
+    else {
+      val stale = robotsCacheSlice.isEmpty ||
+        (robotsTtl != Long.MaxValue && now - robotsDerivedAt >= robotsTtl)
+      if (stale) {
+        robotsCacheSlice.foreach(_.unpersist(false))
+        robotsCacheSlice =
+          Some(CrawlRound.robotsFromWeb(spark, webNow).persist())
+        robotsDerivedAt = now
+      }
+      robotsCacheSlice
+    }
 
   // trace: keyed parts + per-round seq offsets; TraceRow.seq is derived
   // lazily (rank by the A1 composite key within round + round offset) so
@@ -230,7 +259,7 @@ final class CrawlDriver(
 
       val (res, roundSec) = timed("roundBuild+fetch") {
         CrawlRound.run(spark, frontier, hosts, fetchLog, fState.keys,
-          web, cfg, now, roundNo, seq, bloom, robotsCache)
+          webNow, cfg, now, roundNo, seq, bloom, robotsSlice(now))
       }
       if (verbose)
         println(f"[round-timing]   planBuild: ${roundSec - res.fetchPhaseSec}%.2fs")

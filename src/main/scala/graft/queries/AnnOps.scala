@@ -820,8 +820,12 @@ object AnnOps {
     * exact-integer µ-domain: mean_mu = Σq div n (both engines truncate
     * toward zero — measured), var_mu2 = Σ(q − mean)² div n, the classic
     * exact two-pass variance (a one-pass n·Σq² − (Σq)² spelling overflows
-    * bigint at corpus scale; the two-pass form caps every intermediate at
-    * n·(2·10⁶)²).
+    * bigint at corpus scale; the two-pass per-row square caps at (2·10⁶)²,
+    * but Σ(q−mean)² itself passes int64 at n ≈ 2.3·10⁶ vectors per
+    * dimension — where Spark's non-ANSI bigint sum would wrap silently
+    * while DuckDB's HUGEINT sum survives — so the Σ runs in decimal(38,0),
+    * good to n ≈ 10²⁵, matching DuckDB's HUGEINT accumulator; only the
+    * final per-dim quotient returns to bigint).
     *
     * Scale shape: the first pass shuffles only 64 dimension keys (partial
     * aggregates combine map-side); the 64-row stat table broadcasts back
@@ -841,9 +845,10 @@ object AnnOps {
       .groupBy("dim")
       .agg(max(col("n_vecs")).as("n_vecs"),
         max(col("mean_mu")).as("mean_mu"),
-        sum(expr("(q - mean_mu) * (q - mean_mu)")).cast("long").as("ss"))
+        sum(expr("cast((q - mean_mu) * (q - mean_mu) as decimal(38,0))"))
+          .as("ss"))
       .select(col("dim"), col("n_vecs"), col("mean_mu"),
-        expr("ss div n_vecs").as("var_mu2"))
+        expr("cast(ss div n_vecs as bigint)").as("var_mu2"))
   }
 
   val dimStatsSql: String =

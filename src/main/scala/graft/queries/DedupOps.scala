@@ -689,6 +689,106 @@ object DedupOps {
         md5(concat_ws(" ", col("kept"))).as("scrub_md5"))
   }
 
+  /** q84: maximal duplicated SPANS — the length-extension over q44/q67's
+    * 8-gram grain (VERDICT r3 ask #5; Lee et al. 2021 dedup at ~50-byte
+    * spans, not fixed grams): adjacent duplicated 8-grams merge into
+    * maximal runs of covered token positions, and the query reports
+    * span-accurate boundaries per doc — span count, longest span, total
+    * covered (≡ q44.dup_cov by construction, so q67.kept_tokens ≡
+    * n_tokens − span_cov), and an md5 over the canonical "start-end ..."
+    * rendering that pins every boundary exactly.
+    *
+    * Scale shape: the gram/coverage stream is q44's (hash-keyed, map-side
+    * combined); the run merge happens INSIDE one row per doc — array_sort
+    * + indexed-lambda gap scan over that doc's covered set, O(k log k)
+    * per doc with no window, no per-doc sort exchange, no token-level
+    * join (the oracle spells the same merge relationally as
+    * gaps-and-islands; the engine never does). */
+  def dupMaxSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val occ = d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> named_struct('i', i," +
+          " 'gh', md5(concat_ws(' ', slice(toks, i, 8)))))")).as("o"))
+      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
+    val dup = occ.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val spans = occ.join(dup, "gh")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+      .withColumn("cs", array_sort(col("cov")))
+      // a covered position starts a run iff its left neighbor is absent,
+      // ends one iff its right neighbor is absent; both lists come out
+      // ascending, so they pair up positionally into (start, end) spans
+      .withColumn("starts", expr(
+        "filter(transform(cs, (x, j) ->" +
+          " IF(j = 0 OR element_at(cs, j) + 1 <> x, x, null))," +
+          " v -> v IS NOT NULL)"))
+      .withColumn("ends", expr(
+        "filter(transform(cs, (x, j) ->" +
+          " IF(j = size(cs) - 1 OR element_at(cs, j + 2) - 1 <> x, x, null))," +
+          " v -> v IS NOT NULL)"))
+      .select(col("doc_id"),
+        size(col("starts")).cast("long").as("n_spans"),
+        expr("array_max(zip_with(starts, ends, (s, e) -> e - s + 1))")
+          .cast("long").as("max_span"),
+        size(col("cs")).cast("long").as("span_cov"),
+        md5(concat_ws(" ", expr(
+          "zip_with(starts, ends, (s, e) ->" +
+            " concat(cast(s as string), '-', cast(e as string)))")))
+          .as("spans_md5"))
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        coalesce(col("span_cov"), lit(0L)).as("span_cov"),
+        coalesce(col("spans_md5"), md5(lit(""))).as("spans_md5"))
+  }
+
+  val dupMaxSpansSql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, i,
+      |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |        toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |        toks[i+6] || ' ' || toks[i+7]) AS gh
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS toks,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 7)) AS i
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 8)),
+      |dup AS (
+      |  SELECT gh FROM (
+      |    SELECT gh, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, gh FROM occ)
+      |    GROUP BY gh) WHERE nd >= 2),
+      |cov AS (
+      |  SELECT DISTINCT o.doc_id, o.i + s.s AS p
+      |  FROM occ o JOIN dup d ON o.gh = d.gh,
+      |    (SELECT unnest(generate_series(0, 7)) AS s) s),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+      |  FROM cov),
+      |spans AS (
+      |  SELECT doc_id, MIN(p) AS s, MAX(p) AS e FROM isl GROUP BY doc_id, g),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(MAX(e - s + 1) AS BIGINT) AS max_span,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS span_cov,
+      |    md5(string_agg(s || '-' || e, ' ' ORDER BY s)) AS spans_md5
+      |  FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  COALESCE(a.n_spans, 0) AS n_spans,
+      |  COALESCE(a.max_span, 0) AS max_span,
+      |  COALESCE(a.span_cov, 0) AS span_cov,
+      |  COALESCE(a.spans_md5, md5('')) AS spans_md5
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   val exactScrubSql: String =
     """WITH occ AS (
       |  SELECT doc_id, i,

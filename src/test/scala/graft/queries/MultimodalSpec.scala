@@ -99,24 +99,42 @@ class MultimodalSpec extends SparkTestBase {
   test("sniff png: signature + IHDR big-endian dims") {
     val p = hexBytes(
       "89504e470d0a1a0a 0000000d 49484452 00000280 000001e0 0806000000")
-    assert(MultimodalOps.sniff(p) == MultimodalOps.Sniffed("png", 640, 480))
+    assert(MultimodalOps.sniff(p) ==
+      MultimodalOps.Sniffed("png", 640, 480, 1))
   }
 
   test("sniff gif: GIF87a and GIF89a little-endian dims") {
     val p89 = hexBytes("474946383961 8002 e001") // 640x480 LE
     val p87 = hexBytes("474946383761 1000 0800") // 16x8
-    assert(MultimodalOps.sniff(p89) == MultimodalOps.Sniffed("gif", 640, 480))
-    assert(MultimodalOps.sniff(p87) == MultimodalOps.Sniffed("gif", 16, 8))
+    assert(MultimodalOps.sniff(p89) ==
+      MultimodalOps.Sniffed("gif", 640, 480, 1))
+    assert(MultimodalOps.sniff(p87) ==
+      MultimodalOps.Sniffed("gif", 16, 8, 1))
   }
 
   test("sniff wav: chunk walk skips odd-sized chunks (word alignment) " +
-       "before fmt; RIFF without fmt yields (0,0)") {
+       "before fmt; data chunk yields the frame count; RIFF without fmt " +
+       "yields (0,0)") {
     // JUNK chunk with ODD size 3 (+1 pad byte) before fmt : rate 44100, ch 2
     val p = hexBytes(
       "52494646 30000000 57415645" +
       "4a554e4b 03000000 aabbcc 00" + // odd body + pad
       "666d7420 10000000 0100 0200 44ac0000 10b10200 0400 1000")
     assert(MultimodalOps.sniff(p) == MultimodalOps.Sniffed("wav", 44100, 2))
+    // data chunk after fmt: 24 bytes / block-align 4 = 6 sample frames
+    val withData = hexBytes(
+      "52494646 48000000 57415645" +
+      "666d7420 10000000 0100 0200 44ac0000 10b10200 0400 1000" +
+      "64617461 18000000" + "00" * 24)
+    assert(MultimodalOps.sniff(withData) ==
+      MultimodalOps.Sniffed("wav", 44100, 2, 6))
+    // data BEFORE fmt: the walk keeps going and still pairs them up
+    val dataFirst = hexBytes(
+      "52494646 48000000 57415645" +
+      "64617461 08000000" + "00" * 8 +
+      "666d7420 10000000 0100 0100 44ac0000 88580100 0200 1000")
+    assert(MultimodalOps.sniff(dataFirst) ==
+      MultimodalOps.Sniffed("wav", 44100, 1, 4))
     val nofmt = hexBytes("52494646 08000000 57415645 64617461 00000000")
     assert(MultimodalOps.sniff(nofmt) == MultimodalOps.Sniffed("wav", 0, 0))
   }
@@ -151,6 +169,49 @@ class MultimodalSpec extends SparkTestBase {
       assert(s.format == "unknown" || s.dim1 == 0 || s.format.nonEmpty)
     }
     assert(MultimodalOps.sniff(hexBytes("00112233")).format == "unknown")
+  }
+
+  test("decode: real container parse on the default path, stub only for " +
+       "unknown formats") {
+    val png = hexBytes(
+      "89504e470d0a1a0a 0000000d 49484452 00000280 000001e0 0806000000")
+    assert(MultimodalOps.decode(png) ==
+      MultimodalOps.Sniffed("png", 640, 480, 1))
+    val wav = hexBytes(
+      "52494646 48000000 57415645" +
+      "666d7420 10000000 0100 0200 44ac0000 10b10200 0400 1000" +
+      "64617461 18000000" + "00" * 24)
+    assert(MultimodalOps.decode(wav) ==
+      MultimodalOps.Sniffed("wav", 44100, 2, 6))
+    // unknown container → the clearly-marked stub, frames floor 1 kept
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val (w, h, f) = MultimodalOps.decodeStub(junk)
+    assert(MultimodalOps.decode(junk) ==
+      MultimodalOps.Sniffed("unknown", w, h, f))
+  }
+
+  test("q40 features round trip: real parse + oracle-shaped checksum on " +
+       "every doc (parquet run)") {
+    val got = MultimodalOps.mmFeatures(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.length == 500)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (expTyp, expW, expH, expF) = (id % 4) match {
+        case 0 => ("png", id % 640 + 1, id % 480 + 1, 1L)
+        case 1 => ("gif", id % 640 + 1, id % 480 + 1, 1L)
+        case 2 => ("wav", id % 40000 + 8000, id % 2 + 1, id % 25 + 1)
+        case _ => ("jpeg", id % 640 + 1, id % 480 + 1, 1L)
+      }
+      assert(r.getString(1) == expTyp, s"doc $id")
+      assert(r.getLong(3) == expW, s"doc $id width")
+      assert(r.getLong(4) == expH, s"doc $id height")
+      assert(r.getLong(5) == expF, s"doc $id frames")
+      assert(r.getString(6).length == 32)
+      // wav byte_len = 56-byte header+chunks + data body
+      if (expTyp == "wav")
+        assert(r.getLong(2) == 56 + expF * (id % 2 + 1) * 2, s"doc $id len")
+    }
   }
 
   test("q45 construct→parse round trip inverts on every doc (parquet run)") {

@@ -522,6 +522,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Generate"), p.take(1200))
   }
 
+  test("q84 max spans: run merge happens INSIDE one row per doc — gram " +
+       "keys stay hashed, coverage collapses via map-side collect_set, " +
+       "no window/sort operator over doc rows, no CartesianProduct") {
+    val p = planOf(DedupOps.dupMaxSpans(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_collect_set"), p.take(1500))
+    // the oracle's gaps-and-islands spelling would need row_number over
+    // (doc, position) rows — the engine must never pay that sort
+    assert(!p.contains("row_number"), p.take(1500))
+    assert(!p.matches("(?s).*hashpartitioning\\(toks.*"), p.take(1500))
+  }
+
+  test("q40 features: construct→decode→extract is a pure per-row " +
+       "scan→map chain — ZERO exchanges") {
+    val p = planOf(MultimodalOps.mmFeatures(spark, dir))
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipelines") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the plan string
     // (shuffling plans sit under an unfinalized AdaptiveSparkPlan wrapper
