@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.bench.BenchWeb
+import graft.core.CrawlConfig
+import graft.driver.CrawlDriver
+
+/**
+ * Several bench sweeps in ONE JVM (shared JIT, like a Bench campaign),
+ * each in its own session — the sizing/fixed-cost measurement harness.
+ * `SweepOnce` gives one clean profile; this gives back-to-back walls at
+ * several (cpus, n) points so the per-sweep FIXED cost (driver planning,
+ * job-submission latency, checkpoint barriers — everything that does not
+ * scale with n or cpus) can be separated from the parallel work, which is
+ * what sizes the 2v8 mini-campaign: eff28 = (c + W/2)/(4c + W/2) caps at
+ * (W/2)/(4c + W/2) no matter how well the engine scales.
+ *
+ * Usage: runMain graft.tools.SweepMany 8:400000 2:1000000 8:1000000 ...
+ * (first spec is ALSO used for an untimed JIT warm at n/5)
+ */
+object SweepMany {
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-sweepmany-$cpus")
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size",
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "12g"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  private def sweep(cpus: Int, n: Long, label: String): Unit = {
+    val spark = session(cpus)
+    try {
+      val t0  = 1000000L
+      val drv = new CrawlDriver(spark, CrawlConfig(),
+        BenchWeb.web(spark, n, 15), store = None)
+      drv.seedDs(BenchWeb.seeds(spark, n), t0 - 1)
+      val gc0 = gcMs
+      val start = System.nanoTime()
+      drv.run(t0, 1)
+      val wall = (System.nanoTime() - start) / 1e9
+      val gc = (gcMs - gc0) / 1000.0
+      println(f"[$label] cpus=$cpus n=$n wall=$wall%.2f work=${drv.workPhaseSec}%.2f fixed=${wall - drv.workPhaseSec}%.2f gc=$gc%.2f tput=${n / wall}%.0f")
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val specs = args.toVector.map { a =>
+      val Array(c, n) = a.split(":"); (c.toInt, n.toLong)
+    }
+    require(specs.nonEmpty, "usage: SweepMany <cpus>:<n> ...")
+    sweep(specs.head._1, math.max(specs.head._2 / 5, 50000L), "warm")
+    specs.zipWithIndex.foreach { case ((c, n), i) => sweep(c, n, s"s$i") }
+  }
+}
