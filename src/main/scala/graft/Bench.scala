@@ -421,8 +421,17 @@ object Bench {
     // minute (observed 1.13 when a local[2] sweep drew a slow phase) —
     // that's drift, not evidence. Non-qualifying pairs still ship.
     def qual28(e: Double): Boolean = e >= eff28Target && e <= 1.05
+    // Time cap beside the pair cap: at smallN=1M a degraded-phase pair
+    // costs ~5 min, so 5 non-qualifying draws would add ~25 min to the
+    // artifact run; stop drawing once the cap is spent (≥1 pair always
+    // ships). Separate env from the 8v32 budget — these pairs are cheap
+    // in a healthy phase and the target is higher.
+    val hardCap28Sec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_28_HARDCAP_SEC", "1200").toLong
+    val start28 = System.nanoTime()
     while (pairs28.isEmpty ||
-           (pairs28.size < 5 && !pairs28.map(eff28Of).exists(qual28))) {
+           (pairs28.size < 5 && !pairs28.map(eff28Of).exists(qual28) &&
+            (System.nanoTime() - start28) / 1e9 < hardCap28Sec)) {
       // alternate order for the same drift-symmetry reason as the 8v32
       // pairs: monotone drift across a pair pushes a fixed order's ratio
       // one way; alternation represents both directions across draws
