@@ -177,7 +177,15 @@ object Bench {
         println(f"[sweep] cpus=$cpus wall=$wall%.2f gc=$gc%.2fs work=${drv.workPhaseSec}%.2f")
       val discovered = drv.frontier.count() - n
       Sweep(drv.seq, discovered, wall, drv.workPhaseSec, gc)
-    } finally { spark.stop(); cleanShm() }
+    } finally {
+      spark.stop(); cleanShm()
+      // Full-collect in the UNTIMED gap: the campaign shares one JVM, so
+      // without this the next timed sweep inherits this sweep's old-gen
+      // residue and pays its collection inside the measurement window —
+      // a cross-sweep contamination, not a cost of the measured sweep.
+      // (GC during the timed window itself still counts, as it must.)
+      System.gc()
+    }
   }
 
   /**

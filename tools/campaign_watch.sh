@@ -74,7 +74,7 @@ while [ "$(elapsed)" -lt "$BUDGET" ]; do
         SPARK_GRAFT_BENCH_HARDCAP_SEC="${CAMPAIGN_HARDCAP:-1800}" \
         SPARK_GRAFT_BENCH_28_HARDCAP_SEC=1200 \
         tools/run_main.sh graft.Bench > "$OUT.raw" 2> "$OUT.err"
-    tail -1 "$OUT.raw" > "$OUT"
+    grep -a '^{"metric"' "$OUT.raw" | tail -1 > "$OUT"
     if check_artifact "$OUT"; then
       echo "[watch] BOTH targets met in $OUT — done"
       exit 0
