@@ -139,6 +139,27 @@ final class CrawlDriver(
       org.apache.spark.storage.StorageLevel.OFF_HEAP
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** Leaf-finalization pool: with AQE on, a lazy localCheckpoint runs its
+    * plan's intermediate stages EAGERLY (AdaptiveSparkPlanExec
+    * .getFinalPhysicalPlan), so the ~12 per-round leafs finalized serially
+    * cost a scheduling gap per leaf — measured 1.5-5.5 s/round, the
+    * dominant share of the per-round fixed cost f that caps N-vs-4N
+    * scaling efficiency at (f + W/c)/(4f + W/c). The leafs are
+    * independent plans (fo/ho/lo depend only on fu/hu/lu's returned
+    * Dataset handles), so they finalize concurrently here — multi-thread
+    * job submission into one SparkContext is the supported pattern. */
+  private val leafEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        // 1 = serial finalization (the pre-r4 behavior, kept for A/B —
+        // a 1-thread pool runs the Future chain in submission order)
+        sys.props.get("graft.leafThreads")
+          .orElse(sys.env.get("SPARK_GRAFT_LEAF_THREADS"))
+          .map(_.toInt).getOrElse(12),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-leaf"); t.setDaemon(true); t
+        }))
+
   private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
   private def timed[T](label: String)(f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -283,24 +304,33 @@ final class CrawlDriver(
         val withStore = store.isDefined
         val ((fu, hu, lu, fo, ho, lo, fn, hn, li, pg, ext, tr), leafSec) =
           timed("leafPlanning") {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            implicit val ec: scala.concurrent.ExecutionContext = leafEc
             // The store-visible update deltas double as the overlay-compose
             // inputs: ONE checkpointed copy each (leafing them twice stored
             // and materialized every update delta twice per round); without
             // a store the overlays compose straight from the raw plans.
-            val fu  = if (withStore) leaf(res.updatedFrontier)
-                      else res.updatedFrontier
-            val hu  = if (withStore) leaf(res.updatedHosts) else res.updatedHosts
-            val lu  = if (withStore) leaf(res.logUpdates)   else res.logUpdates
-            val fo  = leaf(fState.composeOverlay(fu))
-            val ho  = leaf(hState.composeOverlay(hu))
-            val lo  = leaf(lState.composeOverlay(lu))
-            val fn  = leaf(res.newFrontier)
-            val hn  = leaf(res.newHosts)
-            val li  = leaf(res.logInserts)
-            val pg  = leaf(res.pagesDelta)
-            val ext = leaf(res.extractedDelta)
-            val tr  = leaf(res.trace)
-            (fu, hu, lu, fo, ho, lo, fn, hn, li, pg, ext, tr)
+            // All leafs finalize CONCURRENTLY on leafEc (see its doc);
+            // each overlay chains after its own update delta's handle.
+            val fuF = Future { if (withStore) leaf(res.updatedFrontier)
+                               else res.updatedFrontier }
+            val huF = Future { if (withStore) leaf(res.updatedHosts)
+                               else res.updatedHosts }
+            val luF = Future { if (withStore) leaf(res.logUpdates)
+                               else res.logUpdates }
+            val foF = fuF.map(fu => leaf(fState.composeOverlay(fu)))
+            val hoF = huF.map(hu => leaf(hState.composeOverlay(hu)))
+            val loF = luF.map(lu => leaf(lState.composeOverlay(lu)))
+            val fnF  = Future { leaf(res.newFrontier) }
+            val hnF  = Future { leaf(res.newHosts) }
+            val liF  = Future { leaf(res.logInserts) }
+            val pgF  = Future { leaf(res.pagesDelta) }
+            val extF = Future { leaf(res.extractedDelta) }
+            val trF  = Future { leaf(res.trace) }
+            def get[T](f: Future[T]): T = Await.result(f, Duration.Inf)
+            (get(fuF), get(huF), get(luF), get(foF), get(hoF), get(loF),
+              get(fnF), get(hnF), get(liF), get(pgF), get(extF), get(trF))
           }
         // Bucket tags ride the SAME counting job when a store needs
         // changed-bucket sets (zero extra jobs); without a store they

@@ -47,7 +47,10 @@ object SweepMany {
       .asScala.map(_.getCollectionTime).sum
   }
 
-  private def sweep(cpus: Int, n: Long, label: String): Unit = {
+  private def sweep(cpus: Int, n: Long, label: String,
+                    leafThreads: Int = 0): Unit = {
+    if (leafThreads > 0)
+      System.setProperty("graft.leafThreads", leafThreads.toString)
     val spark = session(cpus)
     try {
       val t0  = 1000000L
@@ -65,10 +68,15 @@ object SweepMany {
 
   def main(args: Array[String]): Unit = {
     val specs = args.toVector.map { a =>
-      val Array(c, n) = a.split(":"); (c.toInt, n.toLong)
+      a.split(":") match {
+        case Array(c, n)     => (c.toInt, n.toLong, 0)
+        case Array(c, n, lt) => (c.toInt, n.toLong, lt.toInt)
+        case _ => sys.error(s"bad spec $a")
+      }
     }
-    require(specs.nonEmpty, "usage: SweepMany <cpus>:<n> ...")
+    require(specs.nonEmpty, "usage: SweepMany <cpus>:<n>[:leafThreads] ...")
     sweep(specs.head._1, math.max(specs.head._2 / 5, 50000L), "warm")
-    specs.zipWithIndex.foreach { case ((c, n), i) => sweep(c, n, s"s$i") }
+    specs.zipWithIndex.foreach { case ((c, n, lt), i) =>
+      sweep(c, n, s"s$i", lt) }
   }
 }
