@@ -28,7 +28,9 @@ ATTEMPT=0
 
 elapsed() { echo $(( $(date +%s) - START )); }
 
-# Current gate: relax as budget burns (a late marginal campaign > nothing).
+# Current gates: relax as budget burns (a late marginal campaign > nothing).
+# BOTH gates relax — a day whose cpu ceilings top out ~0.85-0.88 (observed)
+# would otherwise never fire at a fixed 0.90 and the watcher exits empty.
 gate() {
   local e frac
   e=$(elapsed)
@@ -36,6 +38,14 @@ gate() {
   if   [ "$frac" -ge 80 ]; then echo "0.72"
   elif [ "$frac" -ge 60 ]; then echo "0.76"
   else echo "$MEM_GATE"; fi
+}
+cpugate() {
+  local e frac
+  e=$(elapsed)
+  frac=$(( e * 100 / BUDGET ))
+  if   [ "$frac" -ge 80 ]; then echo "0.84"
+  elif [ "$frac" -ge 60 ]; then echo "0.87"
+  else echo "$CPU_GATE"; fi
 }
 
 check_artifact() { # $1 = artifact path; exit 0 if both targets in pairs[]
@@ -58,8 +68,9 @@ while [ "$(elapsed)" -lt "$BUDGET" ]; do
   CPU=$(echo "$LINE" | sed -n 's/.*cpu=\([0-9.]*\).*/\1/p')
   MEM=$(echo "$LINE" | sed -n 's/.*mem=\([0-9.]*\).*/\1/p')
   G=$(gate)
-  echo "[watch] t=$(elapsed)s probe cpu=$CPU mem=$MEM gate=$G streak=$STREAK"
-  OK=$(python3 -c "print(1 if float('${CPU:-0}')>=$CPU_GATE and float('${MEM:-0}')>=$G else 0)")
+  CG=$(cpugate)
+  echo "[watch] t=$(elapsed)s probe cpu=$CPU mem=$MEM gate=$CG/$G streak=$STREAK"
+  OK=$(python3 -c "print(1 if float('${CPU:-0}')>=$CG and float('${MEM:-0}')>=$G else 0)")
   if [ "$OK" = "1" ]; then STREAK=$((STREAK+1)); else STREAK=0; fi
   if [ "$STREAK" -ge 2 ]; then
     STREAK=0
