@@ -72,6 +72,14 @@ while [ "$(elapsed)" -lt "$BUDGET" ]; do
   echo "[watch] t=$(elapsed)s probe cpu=$CPU mem=$MEM gate=$CG/$G streak=$STREAK"
   OK=$(python3 -c "print(1 if float('${CPU:-0}')>=$CG and float('${MEM:-0}')>=$G else 0)")
   if [ "$OK" = "1" ]; then STREAK=$((STREAK+1)); else STREAK=0; fi
+  # Last-resort fire: at >=90% budget with nothing fired yet, fire into
+  # whatever phase is live — a campaign draws up to 10 pairs over ~40 min
+  # and each pair's efficiency tracks the phase DURING that pair, so ~10
+  # lottery draws (with per-pair ceilings recorded) beat exiting empty.
+  if [ "$ATTEMPT" -eq 0 ] && [ "$(elapsed)" -ge $(( BUDGET * 90 / 100 )) ]; then
+    echo "[watch] last-resort fire at t=$(elapsed)s (no campaign yet)"
+    STREAK=2
+  fi
   if [ "$STREAK" -ge 2 ]; then
     STREAK=0
     ATTEMPT=$((ATTEMPT+1))
