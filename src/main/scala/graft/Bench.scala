@@ -176,6 +176,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_VERBOSE").contains("1"))
         println(f"[sweep] cpus=$cpus wall=$wall%.2f gc=$gc%.2fs work=${drv.workPhaseSec}%.2f")
       val discovered = drv.frontier.count() - n
+      drv.close() // campaigns share one JVM — don't leak the leaf pool
       Sweep(drv.seq, discovered, wall, drv.workPhaseSec, gc)
     } finally {
       spark.stop(); cleanShm()
@@ -216,6 +217,7 @@ object Bench {
         BenchWeb.web(warmSession, n / 5, outlinks), store = None)
       warm.seedDs(BenchWeb.seeds(warmSession, n / 5), t0 - 1)
       warm.run(t0, 1)
+      warm.close()
     } finally { warmSession.stop(); cleanShm() }
     val start = System.nanoTime()
     var pairs = Vector.empty[Pair]
@@ -303,6 +305,7 @@ object Bench {
         drv.run(t0 + 2L * r, 1)
         rows += drv.frontierRows
       }
+      drv.close()
       (drv.roundWallSec, rows.result())
     } finally { spark.stop(); cleanShm() }
   }
@@ -488,7 +491,39 @@ object Bench {
     val totalQ = queryTimes.map(_._2).sum
     val fw = flatWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
     val fr = flatRows.mkString("[", ",", "]")
+
+    // ---- artifact output. The round driver records only the LAST ~2000
+    // chars of sbt stdout and parses the JSON line it finds there; r1-r4
+    // all printed ONE giant line (pairs + campaign_history + 83 per-query
+    // timings ≈ 8-10 KB) whose head fell outside that window → four
+    // rounds of `parsed: null` with the headline crawl numbers
+    // unrecoverable from the checked-in artifact (VERDICT r4 wrong #1).
+    // Fix: the FULL document goes to a file under bench_runs/ (committed
+    // alongside the campaign artifacts); stdout gets a COMPACT line —
+    // headline crawl/2v8/flatness numbers, per-pair efficiency list, the
+    // slowest-10 per-query timings as the regression signal, and the full
+    // artifact's path — engineered to stay well under the tail window.
+    val fullJson =
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$tput32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"n_urls":$bigN,"outlinks_per_page":$outlinks,"discovered":${s32.discovered},"local8_urls_per_sec":$tput8%.1f,"local32_urls_per_sec":$tput32%.1f,"local8_wall_sec":${s8.wall}%.2f,"local32_wall_sec":${s32.wall}%.2f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_median":$medianEff%.3f,"cpu_ceiling_8v32":$ceil%.3f,"mem_ceiling_8v32":$memCeil%.3f,"efficiency_vs_ceiling":${eff / ceil}%.3f,"work_local8_urls_per_sec":$workTput8%.1f,"work_local32_urls_per_sec":$workTput32%.1f,"work_scaling_efficiency":$workEff%.3f,"pairs":$pairsJson,"campaign_history":$historyJson},"crawl_2v8":{"n_urls":$smallN,"local2_wall_sec":${s2.wall}%.2f,"local8_wall_sec":${s8b.wall}%.2f,"local2_urls_per_sec":${smallN / s2.wall}%.1f,"local8_urls_per_sec":${smallN / s8b.wall}%.1f,"scaling_efficiency":$eff28%.3f,"scaling_efficiency_median":$eff28Median%.3f,"pairs":$pairs28Json},"flatness":{"n":$flatN,"rounds":$flatRounds,"wall_per_round_sec":$fw,"frontier_rows_per_round":$fr,"frontier_growth_x":$growth%.1f,"late_vs_early_wall_ratio":$flatRatio%.2f},"queries_total_sec":$totalQ%.2f}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
+      sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
+        "/bench_runs/bench_full_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(fullPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write failed: $e")
+    }
+    val gcBest =
+      f""""local8_gc_sec":${s8.gcSec}%.2f,"local32_gc_sec":${s32.gcSec}%.2f"""
+    val pairEffList = pairEff.map(p => f"${p._2}%.3f").mkString("[", ",", "]")
+    val pair28List = pairs28.map(p => f"${eff28Of(p)}%.3f")
+      .mkString("[", ",", "]")
+    val slowest = queryTimes.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$tput32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"n_urls":$bigN,"outlinks_per_page":$outlinks,"discovered":${s32.discovered},"local8_urls_per_sec":$tput8%.1f,"local32_urls_per_sec":$tput32%.1f,"local8_wall_sec":${s8.wall}%.2f,"local32_wall_sec":${s32.wall}%.2f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_median":$medianEff%.3f,"cpu_ceiling_8v32":$ceil%.3f,"mem_ceiling_8v32":$memCeil%.3f,"efficiency_vs_ceiling":${eff / ceil}%.3f,"work_local8_urls_per_sec":$workTput8%.1f,"work_local32_urls_per_sec":$workTput32%.1f,"work_scaling_efficiency":$workEff%.3f,"pairs":$pairsJson,"campaign_history":$historyJson},"crawl_2v8":{"n_urls":$smallN,"local2_wall_sec":${s2.wall}%.2f,"local8_wall_sec":${s8b.wall}%.2f,"local2_urls_per_sec":${smallN / s2.wall}%.1f,"local8_urls_per_sec":${smallN / s8b.wall}%.1f,"scaling_efficiency":$eff28%.3f,"scaling_efficiency_median":$eff28Median%.3f,"pairs":$pairs28Json},"flatness":{"n":$flatN,"rounds":$flatRounds,"wall_per_round_sec":$fw,"frontier_rows_per_round":$fr,"frontier_growth_x":$growth%.1f,"late_vs_early_wall_ratio":$flatRatio%.2f},"queries_total_sec":$totalQ%.2f}""")
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$tput32%.1f,"unit":"urls/sec","sf":"$sfDir","full_artifact":"$fullPath","crawl":{"n_urls":$bigN,"local8_urls_per_sec":$tput8%.1f,"local32_urls_per_sec":$tput32%.1f,"local8_wall_sec":${s8.wall}%.2f,"local32_wall_sec":${s32.wall}%.2f,$gcBest,"scaling_efficiency":$eff%.3f,"scaling_efficiency_median":$medianEff%.3f,"cpu_ceiling_8v32":$ceil%.3f,"mem_ceiling_8v32":$memCeil%.3f,"efficiency_vs_ceiling":${eff / ceil}%.3f,"work_scaling_efficiency":$workEff%.3f,"pair_effs":$pairEffList},"crawl_2v8":{"n_urls":$smallN,"local2_wall_sec":${s2.wall}%.2f,"local8_wall_sec":${s8b.wall}%.2f,"scaling_efficiency":$eff28%.3f,"scaling_efficiency_median":$eff28Median%.3f,"pair_effs":$pair28List},"flatness":{"n":$flatN,"rounds":$flatRounds,"frontier_growth_x":$growth%.1f,"late_vs_early_wall_ratio":$flatRatio%.2f},"queries_n":${queryTimes.size},"queries_total_sec":$totalQ%.2f,"queries_slowest":$slowest}""")
   }
 }

@@ -35,9 +35,13 @@ final class CrawlDriver(
     store: Option[SnapshotStore] = None,
     numBuckets: Int = 16,
     checkpointEvery: Int = 1,
-    /** Logical seconds between robots-slice refreshes (Long.MaxValue =
-      * derive once, never refresh — the prior behavior). */
-    robotsTtl: Long = Long.MaxValue) {
+    /** Logical seconds between robots-slice refreshes. Default 86400 (one
+      * logical day) per the RFC 9309 §2.4 cache-no-longer-than-24h
+      * expectation — a crawl that NEVER re-reads robots.txt (the pre-r5
+      * Long.MaxValue default) pins a host's rules for the crawl's life.
+      * Long.MaxValue = derive once, never refresh (opt-in, for fixtures
+      * that need a frozen gate). Pinned by RobotsRefreshSpec. */
+    robotsTtl: Long = 86400L) {
 
   import spark.implicits._
 
@@ -148,17 +152,27 @@ final class CrawlDriver(
     * independent plans (fo/ho/lo depend only on fu/hu/lu's returned
     * Dataset handles), so they finalize concurrently here — multi-thread
     * job submission into one SparkContext is the supported pattern. */
+  private val leafPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      // 1 = serial finalization (the pre-r4 behavior, kept for A/B —
+      // a 1-thread pool runs the Future chain in submission order).
+      // Bad knob values degrade to the default instead of failing driver
+      // construction; 0/negative clamp to 1 (serial).
+      sys.props.get("graft.leafThreads")
+        .orElse(sys.env.get("SPARK_GRAFT_LEAF_THREADS"))
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .map(math.max(1, _)).getOrElse(12),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-leaf"); t.setDaemon(true); t
+      })
   private val leafEc: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(
-        // 1 = serial finalization (the pre-r4 behavior, kept for A/B —
-        // a 1-thread pool runs the Future chain in submission order)
-        sys.props.get("graft.leafThreads")
-          .orElse(sys.env.get("SPARK_GRAFT_LEAF_THREADS"))
-          .map(_.toInt).getOrElse(12),
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-leaf"); t.setDaemon(true); t
-        }))
+    scala.concurrent.ExecutionContext.fromExecutor(leafPool)
+
+  /** Release driver-owned resources (the leaf pool). Campaign harnesses
+    * (Bench/SweepMany) create a driver per sweep in ONE shared JVM —
+    * without this, each sweep leaks 12 idle daemon threads. Idempotent;
+    * the driver is unusable for further rounds after close. */
+  def close(): Unit = leafPool.shutdown()
 
   private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
   private def timed[T](label: String)(f: => T): (T, Double) = {
@@ -328,7 +342,17 @@ final class CrawlDriver(
             val pgF  = Future { leaf(res.pagesDelta) }
             val extF = Future { leaf(res.extractedDelta) }
             val trF  = Future { leaf(res.trace) }
-            def get[T](f: Future[T]): T = Await.result(f, Duration.Inf)
+            // Generous finite timeout: a wedged leaf job must surface as
+            // a labeled error, not hang the round forever (ADVICE r4). At
+            // any measured scale a leaf finalizes in seconds; 30 min is
+            // far past wedged on this box.
+            def get[T](f: Future[T]): T =
+              try Await.result(f, Duration(30, "min"))
+              catch {
+                case e: java.util.concurrent.TimeoutException =>
+                  throw new RuntimeException(
+                    s"leaf finalization wedged >30min (round $roundNo)", e)
+              }
             (get(fuF), get(huF), get(luF), get(foF), get(hoF), get(loF),
               get(fnF), get(hnF), get(liF), get(pgF), get(extF), get(trF))
           }

@@ -49,8 +49,15 @@ object SweepMany {
 
   private def sweep(cpus: Int, n: Long, label: String,
                     leafThreads: Int = 0): Unit = {
+    // The sysprop is read at CrawlDriver construction, so set/CLEAR it per
+    // sweep: without the clear, a spec without :leafThreads that follows
+    // one with it silently inherits the override (e.g. `8:2M:1 8:2M` runs
+    // BOTH sweeps at 1 leaf thread), corrupting exactly the in-JVM A/B
+    // comparisons the flag exists for (ADVICE r4).
     if (leafThreads > 0)
       System.setProperty("graft.leafThreads", leafThreads.toString)
+    else
+      System.clearProperty("graft.leafThreads")
     val spark = session(cpus)
     try {
       val t0  = 1000000L
@@ -63,6 +70,7 @@ object SweepMany {
       val wall = (System.nanoTime() - start) / 1e9
       val gc = (gcMs - gc0) / 1000.0
       println(f"[$label] cpus=$cpus n=$n wall=$wall%.2f work=${drv.workPhaseSec}%.2f fixed=${wall - drv.workPhaseSec}%.2f gc=$gc%.2f tput=${n / wall}%.0f")
+      drv.close()
     } finally spark.stop()
   }
 

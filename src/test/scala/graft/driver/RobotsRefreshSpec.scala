@@ -76,6 +76,35 @@ class RobotsRefreshSpec extends SparkTestBase {
       "the T0+4 pick follows the refreshed (disallowing) rules")
   }
 
+  test("DEFAULT ttl is one logical day (RFC 9309 24h cache expectation): " +
+       "a robots change lands at now-derivedAt==86400, not one round late " +
+       "and not never") {
+    val d = new CrawlDriver(spark, cfg,
+      CrawlRound.webFromMap(spark, web(AllowAll)), store = None)
+    // four pages so picks land both sides of the day boundary
+    val w0 = web(AllowAll) + entry(page("a3.ttl"),
+      s"""<${page("a3.ttl")}> <http://purl.org/dc/terms/title> "a3" .""")
+    d.updateWeb(CrawlRound.webFromMap(spark, w0))
+    d.seed(Seq(page("a0.ttl"), page("a1.ttl"), page("a2.ttl"),
+      page("a3.ttl")), T0 - 1)
+    d.run(T0, 1)                       // derive robots at T0; fetch a0
+    val w1 = web(DisallowAll) + entry(page("a3.ttl"),
+      s"""<${page("a3.ttl")}> <http://purl.org/dc/terms/title> "a3" .""")
+    d.updateWeb(CrawlRound.webFromMap(spark, w1))
+    d.run(T0 + 2, 1)                   // within the day: cached rules
+    d.run(T0 + 86398, 1)               // 2s before the boundary: cached
+    d.run(T0 + 86400, 1)               // boundary: refreshed rules
+    val st = states(d)
+    assert(st(page("a0.ttl")) == CrawlState.Accepted)
+    assert(st(page("a1.ttl")) == CrawlState.Accepted,
+      "picks within the default day must use the cached (allowing) rules")
+    assert(st(page("a2.ttl")) == CrawlState.Accepted,
+      "2 logical seconds before the day boundary the cache still applies")
+    assert(st(page("a3.ttl")) == CrawlState.Rejected,
+      "at exactly +86400 the refreshed (disallowing) rules are in force — " +
+      "pins the DEFAULT robotsTtl at one logical day")
+  }
+
   test("an unblocking change also lands at the refresh boundary") {
     val d = new CrawlDriver(spark, cfg,
       CrawlRound.webFromMap(spark, web(DisallowAll)), store = None,

@@ -203,6 +203,76 @@ class ObjectStoreContractSpec extends SparkTestBase {
     }
   }
 
+  test("If-Match CAS semantics: a stale etag never overwrites, an absent " +
+       "key fails the CAS, and the precondition is evaluated before any " +
+       "write") {
+    val root = Files.createTempDirectory("graft-os-cas").toString
+    val os = new SimObjectStore(root)
+    assert(!os.put("k", "x", ifMatch = Some("deadbeef")),
+      "CAS against an absent key must fail")
+    assert(os.get("k").isEmpty, "failed CAS must not write")
+    assert(os.put("k", "v1"))
+    val Some((_, t1)) = os.getWithEtag("k")
+    assert(os.put("k", "v2", ifMatch = Some(t1)), "fresh etag CAS succeeds")
+    assert(!os.put("k", "v3", ifMatch = Some(t1)),
+      "the etag is stale after the first CAS — the second must lose")
+    assert(os.get("k").contains("v2"), "a lost CAS must not clobber")
+  }
+
+  test("two racing committers (VERDICT r4 #4): the conditional-PUT loser " +
+       "surfaces the collision without clobbering, retries at version+1, " +
+       "and _latest never regresses under out-of-order completion") {
+    val root = Files.createTempDirectory("graft-os-2commit").toString
+    val os  = new SimObjectStore(root)
+    val io1 = new ObjectStoreSnapshotIO(os)
+    val io2 = new ObjectStoreSnapshotIO(os) // same bucket, separate client
+    def manifest(v: Int, who: String): String =
+      s"""{"version":$v,"committer":"$who","cow":{},"appends":{},"metrics":{}}"""
+
+    // committer 1 publishes v1
+    io1.writeManifestAtomic("v000001.json", manifest(1, "c1"))
+    assert(os.get("snapshots/_latest").contains("v000001.json"))
+
+    // committer 2 races to the SAME version: the conditional PUT loses,
+    // the loser sees the collision, the winner's object is untouched
+    val boom = intercept[java.io.IOException] {
+      io2.writeManifestAtomic("v000001.json", manifest(1, "c2"))
+    }
+    assert(boom.getMessage.contains("collision"))
+    assert(os.get("snapshots/v000001.json").contains(manifest(1, "c1")),
+      "the losing committer clobbered the published manifest")
+    assert(os.get("snapshots/_latest").contains("v000001.json"))
+
+    // the loser retries at version+1 and succeeds — the documented
+    // recovery path (db.c:1157-1199 probe-then-insert retry analog)
+    io2.writeManifestAtomic("v000002.json", manifest(2, "c2"))
+    assert(os.get("snapshots/_latest").contains("v000002.json"))
+
+    // out-of-order completion: a committer that claimed a LOWER version
+    // finishes AFTER a higher one already advanced the pointer. Its
+    // manifest publish is legitimate (the version was never claimed), but
+    // the pointer must NOT regress past v2. (Before r5 the pointer PUT
+    // was unconditional get-then-put — this interleaving regressed it.)
+    io2.writeManifestAtomic("v000004.json", manifest(4, "c2"))
+    assert(os.get("snapshots/_latest").contains("v000004.json"))
+    io1.writeManifestAtomic("v000003.json", manifest(3, "c1")) // late arrival
+    assert(os.get("snapshots/_latest").contains("v000004.json"),
+      "_latest regressed when a slower committer completed out of order")
+    // both manifests are published and listable; readers resolve the
+    // newest through the pointer
+    assert(io1.listSnapshotFiles().toSet
+      .intersect(Set("v000003.json", "v000004.json")).size == 2)
+
+    // CAS retry under interference: lost acks on BOTH the manifest PUT
+    // and the pointer PUT are re-read and retried until the read-back is
+    // at-or-past the name (2 = one consumed by each)
+    os.loseNextPuts = 2
+    io1.writeManifestAtomic("v000005.json", manifest(5, "c1"))
+    assert(os.get("snapshots/v000005.json").contains(manifest(5, "c1")))
+    assert(os.get("snapshots/_latest").contains("v000005.json"),
+      "pointer advance must survive a lost ack via GET-verified retry")
+  }
+
   test("resume fails fast on a bucket-modulus mismatch instead of " +
        "silently corrupting later commits (ADVICE r3)") {
     val root = Files.createTempDirectory("graft-os-modulus").toString
