@@ -130,6 +130,7 @@ object SparkEntry {
     "q82_split_leakage" -> (CorpusOps.splitLeakage _),
     "q83_span_mask"     -> (TextOps.spanMask _),
     "q84_max_spans"     -> (DedupOps.dupMaxSpans _),
+    "q85_long_span_scrub" -> (DedupOps.longSpanScrub _),
     "q46_asof_join"     -> (TemporalOps.asofLastClick _),
     "q47_range_join"    -> (TemporalOps.rangeJoinCoverage _),
     "q48_sessionize"    -> (TemporalOps.sessionize _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "q82_split_leakage" -> CorpusOps.splitLeakageSql,
     "q83_span_mask"     -> TextOps.spanMaskSql,
     "q84_max_spans"     -> DedupOps.dupMaxSpansSql,
+    "q85_long_span_scrub" -> DedupOps.longSpanScrubSql,
     "q46_asof_join"     -> TemporalOps.asofLastClickSql,
     "q47_range_join"    -> TemporalOps.rangeJoinCoverageSql,
     "q48_sessionize"    -> TemporalOps.sessionizeSql,

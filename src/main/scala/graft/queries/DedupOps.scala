@@ -751,6 +751,138 @@ object DedupOps {
         coalesce(col("spans_md5"), md5(lit(""))).as("spans_md5"))
   }
 
+  /** q85 span-length floor: only maximal duplicated spans of at least
+    * this many tokens are scrubbed (Lee et al. 2021 remove ~50-byte
+    * duplicated substrings, not every duplicated gram — short incidental
+    * overlaps are legitimate text, long verbatim runs are boilerplate/
+    * mirrors; VERDICT r4 ask #5). 50 exercises both branches on the
+    * driver testdata (sf0.001: 28 of 45 merged spans are ≥50). */
+  val LongSpanMin = 50
+
+  /** q85: LONG-span exact-substring scrub — q84's maximal-run merge with
+    * a minimum-span-length threshold, then the q67 transformation applied
+    * to ONLY the long spans: tokens inside a merged duplicated span of ≥
+    * `LongSpanMin` tokens are removed; shorter duplicated spans (q67
+    * would scrub them) are kept. Per doc: long-span count, tokens covered
+    * by long spans, kept token count, and the md5 of the cleaned text
+    * (the q49/q67 proof idiom). Reconciliations pinned by
+    * LongSpanScrubSpec: long_cov ≤ q84.span_cov, kept_tokens ≡ n_tokens −
+    * long_cov, kept_tokens ≥ q67.kept_tokens, with equality exactly where
+    * every span clears the floor.
+    *
+    * Scale shape: identical to q84 up to the merged (start, end) lists —
+    * hash-keyed gram shuffle, map-side-combined coverage, per-row run
+    * merge with no window. The length filter and the scrub are per-row
+    * array ops on that doc's own span list (O(spans) per token via
+    * exists(), never a token-level join), so the threshold adds ZERO
+    * exchanges over q84. */
+  def longSpanScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val occ = base
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> named_struct('i', i," +
+          " 'gh', md5(concat_ws(' ', slice(toks, i, 8)))))")).as("o"))
+      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
+    val dup = occ.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val spans = occ.join(dup, "gh")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+      .withColumn("cs", array_sort(col("cov")))
+      .withColumn("starts", expr(
+        "filter(transform(cs, (x, j) ->" +
+          " IF(j = 0 OR element_at(cs, j) + 1 <> x, x, null))," +
+          " v -> v IS NOT NULL)"))
+      .withColumn("ends", expr(
+        "filter(transform(cs, (x, j) ->" +
+          " IF(j = size(cs) - 1 OR element_at(cs, j + 2) - 1 <> x, x, null))," +
+          " v -> v IS NOT NULL)"))
+      // merged maximal spans are disjoint by construction, so the long
+      // subset's coverage is a plain sum of lengths
+      .withColumn("ls", expr(
+        s"filter(zip_with(starts, ends, (a, b) ->" +
+          s" named_struct('s', a, 'e', b))," +
+          s" x -> x.e - x.s + 1 >= $LongSpanMin)"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_long_spans"),
+        expr("aggregate(ls, 0L, (acc, x) -> acc + x.e - x.s + 1)")
+          .cast("long").as("long_cov"),
+        col("ls"))
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_long_spans"), lit(0L)).as("n_long_spans"),
+        coalesce(col("long_cov"), lit(0L)).as("long_cov"),
+        expr("filter(toks, (t, pi) -> ls IS NULL OR" +
+          " NOT exists(ls, x -> pi + 1 >= x.s AND pi + 1 <= x.e))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_long_spans"),
+        col("long_cov"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", col("kept"))).as("scrub_md5"))
+  }
+
+  val longSpanScrubSql: String =
+    s"""WITH occ AS (
+      |  SELECT doc_id, i,
+      |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |        toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |        toks[i+6] || ' ' || toks[i+7]) AS gh
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS toks,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 7)) AS i
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 8)),
+      |dup AS (
+      |  SELECT gh FROM (
+      |    SELECT gh, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, gh FROM occ)
+      |    GROUP BY gh) WHERE nd >= 2),
+      |cov AS (
+      |  SELECT DISTINCT o.doc_id, o.i + s.s AS p
+      |  FROM occ o JOIN dup d ON o.gh = d.gh,
+      |    (SELECT unnest(generate_series(0, 7)) AS s) s),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+      |  FROM cov),
+      |spans AS (
+      |  SELECT doc_id, MIN(p) AS s, MAX(p) AS e FROM isl GROUP BY doc_id, g),
+      |longs AS (
+      |  SELECT doc_id, s, e FROM spans WHERE e - s + 1 >= ${LongSpanMin}),
+      |lagg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_long_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS long_cov
+      |  FROM longs GROUP BY doc_id),
+      |lcov AS (
+      |  SELECT doc_id, unnest(generate_series(s, e)) AS p FROM longs),
+      |tokpos AS (
+      |  SELECT doc_id, i AS p, toks[i] AS tok
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(generate_series(1, len(toks))) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents))),
+      |kept AS (
+      |  SELECT t.doc_id, t.p, t.tok
+      |  FROM tokpos t LEFT JOIN lcov c ON t.doc_id = c.doc_id AND t.p = c.p
+      |  WHERE c.p IS NULL),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+      |    string_agg(tok, ' ' ORDER BY p) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  COALESCE(l.n_long_spans, 0) AS n_long_spans,
+      |  COALESCE(l.long_cov, 0) AS long_cov,
+      |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+      |  md5(COALESCE(a.cleaned, '')) AS scrub_md5
+      |FROM documents d
+      |LEFT JOIN lagg l ON d.doc_id = l.doc_id
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   val dupMaxSpansSql: String =
     """WITH occ AS (
       |  SELECT doc_id, i,
