@@ -85,6 +85,10 @@ while [ "$(elapsed)" -lt "$BUDGET" ]; do
     ATTEMPT=$((ATTEMPT+1))
     OUT="bench_runs/campaign_${TAG}_$(date +%Y%m%d_%H%M)_watch${ATTEMPT}.json"
     echo "[watch] healthy twice -> firing campaign #$ATTEMPT -> $OUT"
+    # Since r5 Bench prints a COMPACT stdout line and writes the FULL
+    # document (crawl.pairs[], crawl_2v8.pairs[], campaign_history) to
+    # SPARK_GRAFT_BENCH_FULL_OUT — point that at the artifact path;
+    # check_artifact reads the pairs from there.
     env SPARK_GRAFT_SKIP_QUERIES=1 \
         SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
         SPARK_GRAFT_CRAWL_BIGN="${CAMPAIGN_BIGN:-4000000}" \
@@ -92,8 +96,8 @@ while [ "$(elapsed)" -lt "$BUDGET" ]; do
         SPARK_GRAFT_BENCH_BUDGET_SEC=900 \
         SPARK_GRAFT_BENCH_HARDCAP_SEC="${CAMPAIGN_HARDCAP:-1800}" \
         SPARK_GRAFT_BENCH_28_HARDCAP_SEC=1200 \
+        SPARK_GRAFT_BENCH_FULL_OUT="$PWD/$OUT" \
         tools/run_main.sh graft.Bench > "$OUT.raw" 2> "$OUT.err"
-    grep -a '^{"metric"' "$OUT.raw" | tail -1 > "$OUT"
     if check_artifact "$OUT"; then
       echo "[watch] BOTH targets met in $OUT — done"
       exit 0
