@@ -31,7 +31,22 @@ object Bench {
     Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
   }
 
-  private def session(cpus: Int): SparkSession = {
+  /** Off-heap pool sized to the sweep's N (VERDICT r4 next #1: the r3
+    * fixed 12g was calibrated at N=2M; at the resized bigN=4M the pool
+    * overflows and the overflow lands right back on the GC — storage
+    * evictions + execution spills re-serialize through transient heap
+    * buffers. Adjacent in-JVM A/B at 4M/local[32], both orders: 12g GC
+    * 55.2s/66.7s vs 28g 41.1s/57.7s (wall −39s/−15s); a 20g-vs-28g pass
+    * showed no further gain past 20g. 5 GB per million URLs, floor 12g
+    * (the proven ≤2.5M setting), cap 24g — NOT higher: freed pools can
+    * linger as RSS across a campaign's session restarts (glibc arena
+    * retention, the r3 OOM), so oversizing is a real hazard in one
+    * long-lived JVM. Env override wins for re-testing. */
+  private[graft] def offHeapFor(n: Long): String =
+    sys.env.getOrElse("SPARK_GRAFT_OFFHEAP",
+      s"${math.max(12L, math.min(24L, 5L * n / 1000000L))}g")
+
+  private def session(cpus: Int, offHeap: String = "12g"): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
@@ -70,8 +85,7 @@ object Bench {
       // 125 GB box mid-campaign. Oversizing off-heap is NOT safe-by-
       // default in one long-lived JVM.
       .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size",
-        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "12g"))
+      .config("spark.memory.offHeap.size", offHeap)
       // RDD-block serializer kept at the Java default: Kryo was A/B-tested
       // against the ~140 GB of JavaSerializer UnsafeRow churn the
       // allocation profile showed, and LOST at 32 threads (local[32] 1M
@@ -162,7 +176,7 @@ object Bench {
 
   /** One timed sweep in its own session. */
   private def oneSweep(cpus: Int, n: Long, outlinks: Int): Sweep = {
-    val spark = session(cpus)
+    val spark = session(cpus, offHeapFor(n))
     try {
       val t0  = 1000000L
       val drv = new CrawlDriver(spark, CrawlConfig(), // defaults; rate 1000
@@ -210,7 +224,7 @@ object Bench {
   private def crawlSweeps(n: Long, outlinks: Int, budgetSec: Long,
                           hardCapSec: Long, target: Double)
       : Vector[Pair] = {
-    val warmSession = session(32)
+    val warmSession = session(32, offHeapFor(n / 5))
     try {
       val t0 = 1000000L
       val warm = new CrawlDriver(warmSession, CrawlConfig(),
@@ -291,7 +305,7 @@ object Bench {
     * WORK, not total frontier size (incremental base+delta state). */
   private def flatnessSweep(n: Long, rounds: Int,
                             outlinks: Int): (Vector[Double], Vector[Long]) = {
-    val spark = session(32)
+    val spark = session(32, offHeapFor(n))
     try {
       val t0  = 1000000L
       val drv = new CrawlDriver(spark, CrawlConfig(),

@@ -19,7 +19,7 @@ import graft.driver.CrawlDriver
  * (first spec is ALSO used for an untimed JIT warm at n/5)
  */
 object SweepMany {
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, offHeap: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-sweepmany-$cpus")
@@ -32,13 +32,29 @@ object SweepMany {
       .config("spark.rdd.compress",
         sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size",
-        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "12g"))
+      // per-sweep override first: each sweep stops its SparkContext, so a
+      // fresh memory manager (and pool size) applies per sweep — the only
+      // way to A/B pool sizing ADJACENTLY in one JVM on this drifting box
+      .config("spark.memory.offHeap.size", offHeap)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
+  }
+
+  /** Same tmpfs hygiene as Bench.cleanShm: a killed earlier run leaves
+    * its shuffle/spill dirs in /dev/shm (no shutdown hook ran), and tmpfs
+    * pages are RAM — measured: 52 GB of residue from one SIGKILLed 4M
+    * no-compress sweep OOM-killed the next run and silently degraded the
+    * ones between. Run when no session is active. */
+  private def cleanShm(): Unit = {
+    val root = new java.io.File("/dev/shm/graft-spark")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
   }
 
   private def gcMs: Long = {
@@ -48,7 +64,7 @@ object SweepMany {
   }
 
   private def sweep(cpus: Int, n: Long, label: String,
-                    leafThreads: Int = 0): Unit = {
+                    leafThreads: Int = 0, offHeap: String = ""): Unit = {
     // The sysprop is read at CrawlDriver construction, so set/CLEAR it per
     // sweep: without the clear, a spec without :leafThreads that follows
     // one with it silently inherits the override (e.g. `8:2M:1 8:2M` runs
@@ -58,7 +74,10 @@ object SweepMany {
       System.setProperty("graft.leafThreads", leafThreads.toString)
     else
       System.clearProperty("graft.leafThreads")
-    val spark = session(cpus)
+    // default = the n-scaled rule the Bench campaign runs with, so sizing
+    // sweeps here measure what the campaign will actually see
+    val spark = session(cpus,
+      if (offHeap.nonEmpty) offHeap else graft.Bench.offHeapFor(n))
     try {
       val t0  = 1000000L
       val drv = new CrawlDriver(spark, CrawlConfig(),
@@ -71,20 +90,22 @@ object SweepMany {
       val gc = (gcMs - gc0) / 1000.0
       println(f"[$label] cpus=$cpus n=$n wall=$wall%.2f work=${drv.workPhaseSec}%.2f fixed=${wall - drv.workPhaseSec}%.2f gc=$gc%.2f tput=${n / wall}%.0f")
       drv.close()
-    } finally spark.stop()
+    } finally { spark.stop(); cleanShm(); System.gc() }
   }
 
   def main(args: Array[String]): Unit = {
     val specs = args.toVector.map { a =>
       a.split(":") match {
-        case Array(c, n)     => (c.toInt, n.toLong, 0)
-        case Array(c, n, lt) => (c.toInt, n.toLong, lt.toInt)
+        case Array(c, n)         => (c.toInt, n.toLong, 0, "")
+        case Array(c, n, lt)     => (c.toInt, n.toLong, lt.toInt, "")
+        case Array(c, n, lt, oh) => (c.toInt, n.toLong, lt.toInt, oh)
         case _ => sys.error(s"bad spec $a")
       }
     }
-    require(specs.nonEmpty, "usage: SweepMany <cpus>:<n>[:leafThreads] ...")
+    require(specs.nonEmpty,
+      "usage: SweepMany <cpus>:<n>[:leafThreads[:offHeap]] ...")
     sweep(specs.head._1, math.max(specs.head._2 / 5, 50000L), "warm")
-    specs.zipWithIndex.foreach { case ((c, n, lt), i) =>
-      sweep(c, n, s"s$i", lt) }
+    specs.zipWithIndex.foreach { case ((c, n, lt, oh), i) =>
+      sweep(c, n, s"s$i", lt, oh) }
   }
 }
