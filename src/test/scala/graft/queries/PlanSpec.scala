@@ -534,6 +534,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.matches("(?s).*hashpartitioning\\(toks.*"), p.take(1500))
   }
 
+  test("q85 long-span scrub: same plan discipline as q84 — hashed gram " +
+       "keys, map-side collect_set coverage, per-row threshold + scrub, " +
+       "no window/row_number, no CartesianProduct") {
+    val p = planOf(DedupOps.longSpanScrub(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_collect_set"), p.take(1500))
+    assert(!p.contains("row_number"), p.take(1500))
+    // the scrub must not explode tokens back out for a positional join —
+    // q67's per-row filter idiom, with the span list instead of the
+    // position set
+    assert(!p.matches("(?s).*hashpartitioning\\(toks.*"), p.take(1500))
+  }
+
   test("q40 features: construct→decode→extract is a pure per-row " +
        "scan→map chain — ZERO exchanges") {
     val p = planOf(MultimodalOps.mmFeatures(spark, dir))
