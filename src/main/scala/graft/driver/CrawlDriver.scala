@@ -139,9 +139,20 @@ final class CrawlDriver(
     * costs 25-50% of a big sweep's wall in collector pauses; on-heap
     * MEMORY_AND_DISK otherwise (tests, default sessions). */
   private[graft] val stateLevel: org.apache.spark.storage.StorageLevel =
-    if (spark.conf.getOption("spark.memory.offHeap.enabled").contains("true"))
-      org.apache.spark.storage.StorageLevel.OFF_HEAP
-    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    graft.tables.StateLeaf.levelFor(spark)
+
+  /** Plan-truncating state leaves (see [[graft.tables.StateLeaf]]):
+    * batch-stored by default since r5 — the checkpoint blocks' per-row
+    * Java (de)serialization was the largest allocation source in a 4M
+    * local[32] JFR profile and GC share is what caps 8v32 scaling.
+    * `.stateLeaf` is the lazy form (materializes in the round's one
+    * counting job); `.stateLeafEager` materializes before returning. */
+  private implicit class LeafOps[T](ds: Dataset[T]) {
+    def stateLeaf: Dataset[T] =
+      graft.tables.StateLeaf.lazyLeaf(ds, stateLevel)
+    def stateLeafEager: Dataset[T] =
+      graft.tables.StateLeaf.eagerLeaf(ds, stateLevel)
+  }
 
   /** Leaf-finalization pool: with AQE on, a lazy localCheckpoint runs its
     * plan's intermediate stages EAGERLY (AdaptiveSparkPlanExec
@@ -221,7 +232,7 @@ final class CrawlDriver(
     val fv = frontier
     val ins = newF
       .join(fv.select("url_hash"), Seq("url_hash"), "left_anti")
-      .as[FrontierEntry].localCheckpoint(false)
+      .as[FrontierEntry].stateLeaf
     val insN = ins.count()
     if (force) {
       // J3 upsert: matched rows → overlay with next_fetch=now, state=FORCE
@@ -229,7 +240,7 @@ final class CrawlDriver(
         .join(newF.select("url_hash"), Seq("url_hash"), "left_semi")
         .as[FrontierEntry]
         .map(_.copy(next_fetch = now, state = CrawlState.Force))
-      val newOverlay = fState.composeOverlay(matched).localCheckpoint(false)
+      val newOverlay = fState.composeOverlay(matched).stateLeaf
       val oN = newOverlay.count()
       fState.swapOverlay(newOverlay, oN)
       if (store.isDefined) {
@@ -241,7 +252,7 @@ final class CrawlDriver(
 
     val insH = newH
       .join(hosts.select("root_hash"), Seq("root_hash"), "left_anti")
-      .as[HostEntry].localCheckpoint(false)
+      .as[HostEntry].stateLeaf
     val hN = insH.count()
     hState.addInserts(insH, hN)
 
@@ -262,13 +273,13 @@ final class CrawlDriver(
       .flatMap(Step.newFrontierEntry(_, now, force = false))
       .dropDuplicates("url_hash")
       .join(frontier.select("url_hash"), Seq("url_hash"), "left_anti")
-      .as[FrontierEntry].localCheckpoint(false)
+      .as[FrontierEntry].stateLeaf
     val insN = ins.count()
     val insH = ins
       .flatMap(e => Step.newHostEntry(e.url, now, bcCfg.value))
       .dropDuplicates("root_hash")
       .join(hosts.select("root_hash"), Seq("root_hash"), "left_anti")
-      .as[HostEntry].localCheckpoint(false)
+      .as[HostEntry].stateLeaf
     val hN = insH.count()
     fState.addInserts(ins, insN)
     hState.addInserts(insH, hN)
@@ -314,7 +325,7 @@ final class CrawlDriver(
         // scheduling cost is serial and wrecks the 8→32 scaling ratio.
         val par = spark.sparkContext.defaultParallelism
         def leaf[T](ds: Dataset[T]): Dataset[T] =
-          ds.coalesce(par).localCheckpoint(false, stateLevel)
+          ds.coalesce(par).stateLeaf
         val withStore = store.isDefined
         val ((fu, hu, lu, fo, ho, lo, fn, hn, li, pg, ext, tr), leafSec) =
           timed("leafPlanning") {
@@ -454,7 +465,7 @@ final class CrawlDriver(
     // fold trace parts only when none are pending a snapshot append — the
     // fold clears roundOffsets, which pending parts still need for seq
     if (traceParts.size > 48 && pendingTraceParts.isEmpty) {
-      traceBase = traceAll.localCheckpoint(true)
+      traceBase = traceAll.stateLeafEager
       traceParts = Vector.empty
       roundOffsets = Vector.empty
     }
@@ -551,7 +562,7 @@ final class CrawlDriver(
     def cow[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] =
       st.readCow(spark, snap, table,
         implicitly[org.apache.spark.sql.Encoder[T]].schema).as[T]
-        .localCheckpoint(true)
+        .stateLeafEager
     val f = cow[FrontierEntry]("frontier")
     fState.setBase(f, snap.metrics.getOrElse("frontier_rows", f.count()))
     val h = cow[HostEntry]("hosts")
@@ -561,7 +572,7 @@ final class CrawlDriver(
     eState.setBase(cow[ExtractedRow]("extracted"))
     pState.setBase(cow[PageStoreRow]("pages"))
     traceBase = st.readAppend(spark, snap, "trace",
-      Encoders.product[TraceRow].schema).as[TraceRow].localCheckpoint(true)
+      Encoders.product[TraceRow].schema).as[TraceRow].stateLeafEager
     traceParts = Vector.empty
     roundOffsets = Vector.empty
     seq = snap.seq
@@ -594,7 +605,7 @@ final class CrawlDriver(
     applyFrontierUpdates(MqConsumer.rejectDelta(frontier, urlHashes))
 
   private def applyFrontierUpdates(delta: Dataset[FrontierEntry]): Unit = {
-    val newOverlay = fState.composeOverlay(delta).localCheckpoint(false)
+    val newOverlay = fState.composeOverlay(delta).stateLeaf
     val n = newOverlay.count()
     fState.swapOverlay(newOverlay, n)
     if (store.isDefined) {
@@ -609,7 +620,7 @@ final class CrawlDriver(
     val canonRoot = Urls.canonicalRoot(rootUrl).getOrElse(return)
     val upd = hosts.filter(col("root_url") === canonRoot)
       .map(_.copy(partition = partition))
-    val newOverlay = hState.composeOverlay(upd).localCheckpoint(false)
+    val newOverlay = hState.composeOverlay(upd).stateLeaf
     val n = newOverlay.count()
     hState.swapOverlay(newOverlay, n)
     // COW change tracking: without this, the label would silently miss the

@@ -66,11 +66,13 @@ final class DeltaState[T](spark: SparkSession, keyCol: String)
       .as[T](enc)
       .unionByName(updates)
 
-  /** Swap in a materialized overlay. Overlays are local-checkpointed, and
-    * Dataset.unpersist is a no-op for those (the blocks are RDD-level, not
-    * CacheManager entries) — the old overlay's storage is reclaimed by the
-    * ContextCleaner once the new overlay (which references it only through
-    * already-computed data, not lineage) drops the last reference. */
+  /** Swap in a materialized overlay. Overlays are plan-truncated state
+    * leaves (StateLeaf: batched slabs or local checkpoint), and
+    * Dataset.unpersist is a no-op for both forms (the blocks are RDD-level,
+    * never CacheManager entries) — the old overlay's storage is reclaimed
+    * by the ContextCleaner once the new overlay (which references it only
+    * through already-computed data, not lineage) drops the last
+    * reference. */
   def swapOverlay(newOverlay: Dataset[T], n: Long): Unit = {
     overlay = newOverlay
     overlayRows = n
@@ -107,7 +109,7 @@ final class DeltaState[T](spark: SparkSession, keyCol: String)
     val par = spark.sparkContext.defaultParallelism
     val p = math.max(par.toLong,
       math.min(total / 200000L + 1L, par * 8L)).toInt
-    val b = view.coalesce(p).localCheckpoint(true)
+    val b = StateLeaf.eagerLeaf(view.coalesce(p))
     setBase(b, total)
   }
 }
@@ -151,6 +153,6 @@ final class AppendState[T](spark: SparkSession, keyCol: String)
 
   def compact(): Unit = {
     val par = spark.sparkContext.defaultParallelism
-    setBase(view.coalesce(par * 2).localCheckpoint(true))
+    setBase(StateLeaf.eagerLeaf(view.coalesce(par * 2)))
   }
 }

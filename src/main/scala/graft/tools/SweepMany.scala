@@ -64,7 +64,8 @@ object SweepMany {
   }
 
   private def sweep(cpus: Int, n: Long, label: String,
-                    leafThreads: Int = 0, offHeap: String = ""): Unit = {
+                    leafThreads: Int = 0, offHeap: String = "",
+                    leafMode: String = ""): Unit = {
     // The sysprop is read at CrawlDriver construction, so set/CLEAR it per
     // sweep: without the clear, a spec without :leafThreads that follows
     // one with it silently inherits the override (e.g. `8:2M:1 8:2M` runs
@@ -74,6 +75,13 @@ object SweepMany {
       System.setProperty("graft.leafThreads", leafThreads.toString)
     else
       System.clearProperty("graft.leafThreads")
+    // Same set/CLEAR discipline for the state-leaf strategy (StateLeaf
+    // reads the sysprop per call, so this is a clean per-sweep A/B knob:
+    // `columnar` vs `checkpoint`).
+    if (leafMode.nonEmpty)
+      System.setProperty("graft.stateLeaf", leafMode)
+    else
+      System.clearProperty("graft.stateLeaf")
     // default = the n-scaled rule the Bench campaign runs with, so sizing
     // sweeps here measure what the campaign will actually see
     val spark = session(cpus,
@@ -96,16 +104,17 @@ object SweepMany {
   def main(args: Array[String]): Unit = {
     val specs = args.toVector.map { a =>
       a.split(":") match {
-        case Array(c, n)         => (c.toInt, n.toLong, 0, "")
-        case Array(c, n, lt)     => (c.toInt, n.toLong, lt.toInt, "")
-        case Array(c, n, lt, oh) => (c.toInt, n.toLong, lt.toInt, oh)
+        case Array(c, n)             => (c.toInt, n.toLong, 0, "", "")
+        case Array(c, n, lt)         => (c.toInt, n.toLong, lt.toInt, "", "")
+        case Array(c, n, lt, oh)     => (c.toInt, n.toLong, lt.toInt, oh, "")
+        case Array(c, n, lt, oh, lm) => (c.toInt, n.toLong, lt.toInt, oh, lm)
         case _ => sys.error(s"bad spec $a")
       }
     }
     require(specs.nonEmpty,
-      "usage: SweepMany <cpus>:<n>[:leafThreads[:offHeap]] ...")
+      "usage: SweepMany <cpus>:<n>[:leafThreads[:offHeap[:leafMode]]] ...")
     sweep(specs.head._1, math.max(specs.head._2 / 5, 50000L), "warm")
-    specs.zipWithIndex.foreach { case ((c, n, lt, oh), i) =>
-      sweep(c, n, s"s$i", lt, oh) }
+    specs.zipWithIndex.foreach { case ((c, n, lt, oh, lm), i) =>
+      sweep(c, n, s"s$i", lt, oh, lm) }
   }
 }

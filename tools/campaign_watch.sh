@@ -64,6 +64,14 @@ EOF
 }
 
 while [ "$(elapsed)" -lt "$BUDGET" ]; do
+  # Builder-busy hold: a concurrent sbt/JVM both depresses the probe
+  # (false-degraded read) and would contaminate a fired campaign. The
+  # builder touches this file around its own JVM bursts; while present we
+  # neither probe nor fire (incl. the last-resort path) — just wait.
+  if [ -f /tmp/graft_builder_busy ]; then
+    echo "[watch] t=$(elapsed)s builder busy — holding"
+    sleep 60; continue
+  fi
   LINE=$(python3 tools/box_probe.py 1 2>/dev/null | tail -1)
   CPU=$(echo "$LINE" | sed -n 's/.*cpu=\([0-9.]*\).*/\1/p')
   MEM=$(echo "$LINE" | sed -n 's/.*mem=\([0-9.]*\).*/\1/p')
