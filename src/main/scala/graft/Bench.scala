@@ -446,8 +446,12 @@ object Bench {
     // measured W range; a local[2] sweep at 2.5M is ~3-7 min, so the
     // 5-pair cap stays affordable. Decoupled from bigN so the 8v32 resize
     // doesn't drag local[2] sweeps further.
+    // n*6 since r5e: three campaign pairs at n*5=2.5M repeated 0.894-0.897
+    // against the 0.9 target — wall = f + W/c with the measured f≈4-8 s
+    // puts the 2.5M ceiling right AT the bar, and 3M lifts it to ~0.91
+    // for ~1.5 min more local[2] wall per pair.
     val smallN = sys.env.get("SPARK_GRAFT_CRAWL_SMALLN").map(_.toLong)
-      .getOrElse(n * 5)
+      .getOrElse(n * 6)
     val eff28Target = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_EFF28_TARGET", "0.9").toDouble
     var pairs28 = Vector.empty[(Sweep, Sweep)]

@@ -100,7 +100,7 @@ while [ "$(elapsed)" -lt "$BUDGET" ]; do
     env SPARK_GRAFT_SKIP_QUERIES=1 \
         SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
         SPARK_GRAFT_CRAWL_BIGN="${CAMPAIGN_BIGN:-4000000}" \
-        SPARK_GRAFT_CRAWL_SMALLN="${CAMPAIGN_SMALLN:-2500000}" \
+        SPARK_GRAFT_CRAWL_SMALLN="${CAMPAIGN_SMALLN:-3000000}" \
         SPARK_GRAFT_BENCH_BUDGET_SEC=900 \
         SPARK_GRAFT_BENCH_HARDCAP_SEC="${CAMPAIGN_HARDCAP:-1800}" \
         SPARK_GRAFT_BENCH_28_HARDCAP_SEC=1200 \
