@@ -304,14 +304,17 @@ object AnnOps {
     * never repartitioned to absorb a 10^6-vector batch. */
   def incrEmbedCandidates(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val sigs = e.select(col("vec_id"),
+    // literal split (the DedupOps.thresholdVal pattern): the vec_id
+    // predicate pushes into each side's scan, so the batch side computes
+    // hyperplane signatures for batch vectors only
+    val t = e.agg(expr("cast(max(vec_id)*4 div 5 as bigint)"))
+      .head.getLong(0)
+    def sigs(side: DataFrame) = side.select(col("vec_id"),
         posexplode(expr(s"hyper_sigs(embedding, $BandBase, $Bands, $BandBits)")))
       .toDF("vec_id", "band", "sig")
-      .crossJoin(broadcast(
-        e.agg(expr("cast(max(vec_id)*4 div 5 as bigint)").as("t"))))
-    val corpus = sigs.filter(col("vec_id") < col("t"))
+    val corpus = sigs(e.filter(col("vec_id") < t))
       .select(col("vec_id").as("corpus_vec"), col("band"), col("sig"))
-    val batch = sigs.filter(col("vec_id") >= col("t"))
+    val batch = sigs(e.filter(col("vec_id") >= t))
       .select(col("vec_id").as("batch_vec"), col("band"), col("sig"))
     corpus.join(broadcast(batch), Seq("band", "sig"))
       .select("batch_vec", "corpus_vec").distinct()
@@ -369,21 +372,57 @@ object AnnOps {
     * µ²-units; ties break to the lowest cell id in both engines). The
     * (dist, cell) argmin is packed into ONE bigint (dist·256 + cell —
     * lexicographic order preserved since 0 ≤ cell < 256 and dist ≥ 0, and
-    * dist < 2^48 µ² keeps the product far from overflow): `min` over a
-    * bigint keeps the aggregate a codegen'd partial-combining
-    * HashAggregate, where a `min(struct(dist, cell))` spelling has a
-    * struct buffer and lowers to per-partition SortAggregate. `qv` rides
-    * as a grouping key (functionally dependent on vec_id — same
-    * cardinality, and carrying it as `first(qv)` would reintroduce a
-    * non-mutable agg buffer). */
-  private[queries] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("packed", expr("sq_l2(qv, cv) * 256 + cell"))
-      .groupBy("vec_id", "qv")
-      .agg(min(col("packed")).as("p"))
+    * dist < 2^48 µ² keeps the product far from overflow), and the min
+    * over the K centroids folds INSIDE the row: the centroids are
+    * driver-held exact integers (the MLlib pattern — they are collected
+    * per iteration anyway), so they inline as K array literals under one
+    * codegen'd least(). The r5 spelling crossJoined a broadcast centroid
+    * TABLE and re-grouped by (vec_id, qv) to take the min — a K-way row
+    * fan-out plus a full-corpus exchange per Lloyd iteration that the
+    * per-row fold simply does not have (guide §2.4: remove shuffles
+    * outright). */
+  private def kmPacked(cents: Seq[(Int, Seq[Long])]): org.apache.spark.sql.Column = {
+    val terms = cents.sortBy(_._1).map { case (cell, cv) =>
+      call_function("sq_l2", col("qv"),
+        typedLit(cv)) * lit(256L) + lit(cell.toLong)
+    }
+    if (terms.size == 1) terms.head else least(terms: _*)
+  }
+
+  private[queries] def kmAssign(e: DataFrame,
+                                cents: Seq[(Int, Seq[Long])]): DataFrame =
+    e.withColumn("packed", kmPacked(cents))
       .select(col("vec_id"), col("qv"),
-        expr("cast(p % 256 as int)").as("cell"),
-        expr("p div 256").as("dist"))
+        expr("cast(packed % 256 as int)").as("cell"),
+        expr("packed div 256").as("dist"))
+
+  /** (vec_id, embedding, trained cell) in one narrow projection — the
+    * stored-assignment stand-in q38/q64 consume; the r5 spelling joined
+    * the float embeddings back to kmeansCells by vec_id (a corpus-sized
+    * equi-join the inline assignment removes entirely). */
+  private def embWithCell(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), expr(quantSpark).as("qv"))
+    val cents = trainKmeans(e)
+    emb(s, dir).withColumn("qv", expr(quantSpark))
+      .withColumn("packed", kmPacked(cents))
+      .select(col("vec_id"), col("embedding"),
+        expr("cast(packed % 256 as int)").as("cell"))
+  }
+
+  /** The KmIters-iteration Lloyd loop: seed = vectors 0..K-1, each
+    * iteration one inline assignment + one 64-column partial-sum
+    * groupBy(cell), centroids collected to the driver (K·dims longs). */
+  private[queries] def trainKmeans(e: DataFrame): Seq[(Int, Seq[Long])] = {
+    import e.sparkSession.implicits._
+    def collectCents(df: DataFrame): Seq[(Int, Seq[Long])] =
+      df.as[(Int, Array[Long])].collect().toSeq
+        .map { case (c, v) => (c, v.toSeq) }
+    var cents = collectCents(e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cell"), col("qv").as("cv")))
+    for (_ <- 1 to KmIters)
+      cents = collectCents(kmUpdate(kmAssign(e, cents)))
+    cents
+  }
 
   /** Recompute centroids as the per-cell floor-mean of each dimension —
     * one groupBy(cell) with 64 partial sums + a count; cells that lost
@@ -407,14 +446,9 @@ object AnnOps {
     * The collected values are exact integers, so the materialization is
     * invisible to the oracle. */
   def kmeansCells(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), expr(quantSpark).as("qv"))
-    var cents = e.filter(col("vec_id") < KmK)
-      .select(col("vec_id").cast("int").as("cell"), col("qv").as("cv"))
-    for (_ <- 1 to KmIters)
-      cents = kmUpdate(kmAssign(e, cents))
-        .as[(Int, Array[Long])].collect().toSeq.toDF("cell", "cv")
-    kmAssign(e, cents).select(col("vec_id"), col("cell"), col("dist"))
+    kmAssign(e, trainKmeans(e)).select(col("vec_id"), col("cell"),
+      col("dist"))
   }
 
   /** The CTE chain replaying `KmIters` Lloyd iterations; `a3` holds the
@@ -464,8 +498,7 @@ object AnnOps {
     * track the corpus's actual density (AnnRecallSpec: recall ≥ the
     * untrained hyperplane cells' on the clustered fixture). */
   def kmeansTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-      .join(kmeansCells(s, dir).select("vec_id", "cell"), Seq("vec_id"))
+    val e = embWithCell(s, dir)
     val q = e.select(col("vec_id").as("query_id"), col("cell"),
       col("embedding").as("qe")).filter(col("query_id") < 5)
     val c = e.select(col("vec_id").as("neighbor_id"), col("cell"),
@@ -522,8 +555,7 @@ object AnnOps {
     * CartesianProduct, no all-pairs across cells; the dup-id set is
     * DISTINCT + broadcast back for the anti-membership flag. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-      .join(kmeansCells(s, dir).select("vec_id", "cell"), Seq("vec_id"))
+    val e = embWithCell(s, dir)
       .select(col("vec_id"), col("cell"), col("embedding"))
     val a = e.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("ea"))

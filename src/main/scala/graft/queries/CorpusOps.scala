@@ -535,25 +535,24 @@ object CorpusOps {
     * reuses q12's candidate stream (shuffles ∝ candidates) and rolls up
     * into a ≤9-cell matrix map-side. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val split_ = docs(s, dir).select(col("doc_id"),
-      (conv(substring(sha2(concat(lit("split:"),
-          col("doc_id").cast("string")), 256), 1, 8), 16, 10)
-        .cast("long") % 100).as("b"))
+    // split label and token set ride ONE meta table, so each pair side
+    // joins back once, not twice (the r5 spelling joined split_ and toks
+    // separately per side: four doc-keyed joins and four document scans
+    // where two suffice)
+    val meta = docs(s, dir).select(col("doc_id"),
+        (conv(substring(sha2(concat(lit("split:"),
+            col("doc_id").cast("string")), 256), 1, 8), 16, 10)
+          .cast("long") % 100).as("b"),
+        array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("split", expr(
         "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'" +
           " ELSE 'test' END"))
-      .select("doc_id", "split")
-    val toks = docs(s, dir).select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      .select("doc_id", "split", "toks")
     DedupOps.lshCandidatePairs(s, dir)
-      .join(split_.select(col("doc_id").as("doc_a"),
-        col("split").as("sp_a")), Seq("doc_a"))
-      .join(split_.select(col("doc_id").as("doc_b"),
-        col("split").as("sp_b")), Seq("doc_b"))
-      .join(toks.select(col("doc_id").as("doc_a"),
-        col("toks").as("toks_a")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"),
-        col("toks").as("toks_b")), Seq("doc_b"))
+      .join(meta.select(col("doc_id").as("doc_a"),
+        col("split").as("sp_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"),
+        col("split").as("sp_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .select(
         least(col("sp_a"), col("sp_b")).as("split_a"),
         greatest(col("sp_a"), col("sp_b")).as("split_b"),
@@ -799,21 +798,32 @@ object CorpusOps {
       .withColumn("bucket",
         conv(substring(sha2(concat(lit("d:"), col("tok")), 256), 1, 8),
           16, 10).cast("long") % 64)
-    val raw = tok.groupBy("bucket")
-      .agg(count(lit(1)).cast("long").as("cr"))
-    val tgt = tok.filter(col("lang") === "en").groupBy("bucket")
-      .agg(count(lit(1)).cast("long").as("ct"))
-    val nr = tok.agg(count(lit(1)).cast("long").as("nr"))
-    val nt = tok.filter(col("lang") === "en")
-      .agg(count(lit(1)).cast("long").as("nt"))
+    // ONE 64-row bucket aggregate carries BOTH models (raw count + target
+    // count as a conditional sum ≡ the r5 left join's coalesce(ct, 0));
+    // the model is then COLLECTED (64 rows — the q37-centroid bounded-
+    // model pattern) and inlined as two array literals with driver-side
+    // grand totals. The r5 spelling ran raw/tgt/nr/nt as four separate
+    // aggregates, each re-scanning and re-hashing the full token stream
+    // inside one action, and joined two model tables back per token:
+    // 5 token passes + 2 joins → 2 passes + 0 joins.
+    val model = tok.groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+          .as("ct"))
+      .collect()
+    val crA = Array.fill(64)(0L); val ctA = Array.fill(64)(0L)
+    model.foreach { r =>
+      val b = r.getLong(0).toInt; crA(b) = r.getLong(1); ctA(b) = r.getLong(2)
+    }
+    val nr = crA.sum; val nt = ctA.sum
     tok
-      .join(broadcast(raw), Seq("bucket"))
-      .join(broadcast(tgt), Seq("bucket"), "left")
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .withColumn("crl", typedLit(crA.toSeq))
+      .withColumn("ctl", typedLit(ctA.toSeq))
       .select(col("doc_id"),
         expr("length(bin(greatest(" +
-          "((coalesce(ct, 0) + 1) * (nr + 64) * 1024)" +
-          " div ((cr + 1) * (nt + 64)), 1))) - 1 - 10").as("bits"))
+          s"((element_at(ctl, cast(bucket + 1 as int)) + 1) * (${nr}L + 64) * 1024)" +
+          s" div ((element_at(crl, cast(bucket + 1 as int)) + 1) * (${nt}L + 64))," +
+          " 1))) - 1 - 10").as("bits"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_toks"),
         sum(col("bits")).cast("long").as("logw_bits"))

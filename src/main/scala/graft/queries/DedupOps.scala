@@ -314,9 +314,16 @@ object DedupOps {
   // boundary and the corpus-side hashes/signatures are precomputed once
   // and stored (exactly what tables.SnapshotStore holds for the crawl).
 
-  /** 1-row threshold frame: t = ⌊max(doc_id)·4/5⌋. */
-  private def threshold(d: DataFrame): DataFrame =
-    d.agg(expr("cast(max(doc_id)*4 div 5 as bigint)").as("t"))
+  /** Batch/corpus split point t = ⌊max(doc_id)·4/5⌋, read to the driver
+    * (ONE row — the bounded-model pattern of the q37 centroids): inlined
+    * as a literal the split predicate pushes into the parquet scan
+    * (PushedFilters), where the r5 crossJoin-a-1-row-frame spelling kept
+    * BOTH branches computing the full corpus's hashes/band signatures
+    * before filtering — the batch side of every incremental operator paid
+    * a full-corpus pass for its ~1/5 slice. In production t is the stored
+    * snapshot boundary, a constant known before the query. */
+  private[queries] def thresholdVal(d: DataFrame): Long =
+    d.agg(expr("cast(max(doc_id)*4 div 5 as bigint)")).head.getLong(0)
 
   /** q15: exact incremental dedup — batch documents whose text hash is NOT
     * in the corpus, one survivor per hash (min doc_id), with the batch
@@ -328,12 +335,16 @@ object DedupOps {
     * bloom drops almost every already-seen batch doc without a shuffle. */
   def incrDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val t = thresholdVal(docs(s, dir))
     val d = docs(s, dir).select(col("doc_id"),
       substring(sha2(col("text"), 256), 1, 32).as("text_hash"))
-      .crossJoin(broadcast(threshold(docs(s, dir))))
-    val corpus = d.filter(col("doc_id") < col("t"))
-      .select(col("text_hash")).as[String]
-    val batch = d.filter(col("doc_id") >= col("t"))
+    // persisted: four consumers (count, bloom build, cuckoo cogroup seen
+    // side, authoritative anti-join) — without it each action re-scans
+    // the parquet and re-hashes the corpus text (guide §5: cache what is
+    // reused across actions; exchange reuse never crosses actions)
+    val corpus = d.filter(col("doc_id") < t)
+      .select(col("text_hash")).as[String].persist()
+    val batch = d.filter(col("doc_id") >= t)
     val bloom = new graft.operators.SeenFilter.SeenBloom()
     bloom.mergeBatch(
       graft.operators.SeenFilter.buildBloom(corpus, bloom), corpus.count())
@@ -382,11 +393,14 @@ object DedupOps {
     * scales: a 10^10-doc corpus is never repartitioned to absorb a
     * 10^6-doc batch. */
   def incrLshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bands = narrowBands(docs(s, dir))
-      .crossJoin(broadcast(threshold(docs(s, dir))))
-    val corpusB = bands.filter(col("doc_id") < col("t"))
+    // literal split: each side's doc_id predicate pushes into its scan,
+    // so the batch side computes band signatures for batch docs ONLY
+    // (the r5 post-bands filter put a full-corpus minhash pass on both
+    // branches)
+    val t = thresholdVal(docs(s, dir))
+    val corpusB = narrowBands(docs(s, dir).filter(col("doc_id") < t))
       .select(col("doc_id").as("corpus_doc"), col("b"), col("band_hash"))
-    val batchB = bands.filter(col("doc_id") >= col("t"))
+    val batchB = narrowBands(docs(s, dir).filter(col("doc_id") >= t))
       .select(col("doc_id").as("batch_doc"), col("b"), col("band_hash"))
     corpusB.join(broadcast(batchB), Seq("b", "band_hash"))
       .select("batch_doc", "corpus_doc").distinct()
@@ -481,15 +495,32 @@ object DedupOps {
     * plans never nest across iterations (the Lloyd-chain lesson of
     * q37). */
   private[queries] def components(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
+    // persist the PAIR list before mirroring it: union plans its two
+    // branches independently, so the r5 spelling computed the whole
+    // LSH+Jaccard pair pipeline twice into the edges persist
+    val p0 = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val edges = p0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // lazy localCheckpoint (plan truncated immediately, the per-round
+    // aggregate below materializes it — the CrawlDriver DeltaState
+    // pattern); convergence rides the MONOTONE label sum: labels only
+    // ever decrease (hop takes a min including the own label; jump maps
+    // a label to that node's ≤ label), so the sum is strictly decreasing
+    // until the fixpoint and two equal consecutive sums ⟺ no row changed.
+    // The r5 spelling joined every round's labels back to the previous
+    // round's ("prev") and counted inequalities — a whole extra join per
+    // round whose only product was the stop signal, plus a separate
+    // eager-checkpoint materialization job.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+      .localCheckpoint(false)
+    // decimal(38,0): at 10^10 docs a sum of 10^10 labels overflows bigint
+    var prevSum: java.math.BigDecimal = null
+    var done = false
+    while (!done) {
       // hop: min over own + neighbors' labels
       val hop = labels
         .join(edges, col("doc_id") === col("src"))
@@ -501,12 +532,15 @@ object DedupOps {
       val next = hop.as("a")
         .join(hop.as("b"), col("a.label") === col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id"), col("b.label").as("label"))
-        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("prev")).count()
-      labels = next.select("doc_id", "label")
+        .localCheckpoint(false)
+      val s = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      done = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
+      labels = next
+      if (verbose) println(s"[components] round sum=$s done=$done")
     }
-    edges.unpersist()
+    edges.unpersist(); p0.unpersist()
     labels.select(col("doc_id"), col("label").as("rep_id"),
       when(col("label") === col("doc_id"), 1).otherwise(0)
         .cast("int").as("keep"))
@@ -595,23 +629,65 @@ object DedupOps {
     * — never a cartesian. Coverage explodes each surviving occurrence to
     * its 8 positions and distinct-counts per doc: all group-bys combine
     * map-side on (doc, key) pairs bounded by document length. */
+  /** Shared gram-occurrence stream of the exact-substring family
+    * (q44/q67/q84/q85): one (doc_id, start, gram-md5) row per 8-token
+    * gram. Narrow scan→generate — the md5 hex is the ONLY gram
+    * representation that ever reaches an exchange. */
+  private def gramOcc(base: DataFrame): DataFrame = base
+    .filter(size(col("toks")) >= 8)
+    // explode the position range FIRST and hash in a top-level projection:
+    // slice/concat_ws/md5 all run inside whole-stage codegen there,
+    // where the r5 spelling evaluated them per gram inside a transform()
+    // lambda — Catalyst HOFs are interpreted (the VecSig lesson), and the
+    // gram hash is the hottest expression of the whole family
+    .select(col("doc_id"), col("toks"),
+      explode(expr("sequence(1, size(toks) - 7)")).as("i"))
+    .select(col("doc_id"), col("i"),
+      expr("md5(concat_ws(' ', slice(toks, i, 8)))").as("gh"))
+
+  /** Duplicated-gram set: grams in ≥2 DISTINCT docs, detected as
+    * min(doc_id) ≠ max(doc_id) — ONE map-side-combined aggregate (the
+    * r5 spelling was distinct-on-(doc,gh) + count ≥ 2: a full gram-stream
+    * exchange plus a second aggregate; min/max partials combine map-side
+    * so the exchange carries one row per distinct gram per task,
+    * guide §2.3 "aggregate before you shuffle"). */
+  private def dupGrams(occ: DataFrame): DataFrame = occ
+    .groupBy("gh")
+    .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    .filter(col("mn") =!= col("mx")).select("gh")
+
+  /** Per-doc MERGED maximal duplicated spans, computed from dup-gram
+    * START positions only: coverage is ∪[i, i+7] over surviving starts,
+    * so two grams chain one run iff the next start is within 8 of the
+    * previous, and a run covering [s ..] ends at (last start in run)+7.
+    * The r5 spelling exploded every start to its 8 covered positions
+    * before the per-doc aggregate (8× the exchange rows + an array_sort
+    * over the 8×-larger covered set); starts alone carry the same
+    * information. Output: (doc_id, ss[], es[]) with ss/es pairing
+    * positionally into disjoint ascending (start, end) spans. */
+  private def mergedSpans(occ: DataFrame, dup: DataFrame): DataFrame =
+    occ.join(dup, "gh")
+      .groupBy("doc_id").agg(collect_set(col("i")).as("st0"))
+      .withColumn("st", array_sort(col("st0")))
+      .withColumn("ss", expr(
+        "filter(transform(st, (x, j) ->" +
+          " IF(j = 0 OR element_at(st, j) + 8 < x, x, null))," +
+          " v -> v IS NOT NULL)"))
+      .withColumn("es", expr(
+        "filter(transform(st, (x, j) ->" +
+          " IF(j = size(st) - 1 OR element_at(st, j + 2) - 8 > x," +
+          " x + 7, null)), v -> v IS NOT NULL)"))
+      .drop("st0")
+
   def dupSpans(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val occ = d
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7)," +
-          " i -> named_struct('i', i," +
-          " 'gh', md5(concat_ws(' ', slice(toks, i, 8)))))")).as("o"))
-      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
-    val dup = occ.select("doc_id", "gh").distinct()
-      .groupBy("gh").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("gh")
-    val cov = occ.join(dup, "gh")
-      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("dup_cov"))
+    val occ = gramOcc(
+      d.select(col("doc_id"), split(col("text"), " ").as("toks")))
+    // merged spans are disjoint, so distinct covered positions = Σ lengths
+    val cov = mergedSpans(occ, dupGrams(occ))
+      .select(col("doc_id"),
+        expr("aggregate(zip_with(ss, es, (a, b) -> b - a + 1)," +
+          " 0L, (acc, x) -> acc + x)").as("dup_cov"))
     d.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(cov, Seq("doc_id"), "left")
@@ -666,24 +742,23 @@ object DedupOps {
   def exactScrub(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val occ = base
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7)," +
-          " i -> named_struct('i', i," +
-          " 'gh', md5(concat_ws(' ', slice(toks, i, 8)))))")).as("o"))
-      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
-    val dup = occ.select("doc_id", "gh").distinct()
-      .groupBy("gh").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("gh")
-    val covArr = occ.join(dup, "gh")
-      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
-      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
-    base.join(covArr, Seq("doc_id"), "left")
+    val occ = gramOcc(base)
+    // a position is covered iff it falls inside a merged span — O(spans)
+    // exists() per token against the doc's own span list (the r5 shape
+    // probed an O(covered-positions) unsorted set per token)
+    val spans = mergedSpans(occ, dupGrams(occ)).select("doc_id", "ss", "es")
+    // kept = the gap segments BETWEEN merged spans, rebuilt by O(spans)
+    // positional slices — the r5 spelling ran an interpreted filter()
+    // lambda per TOKEN probing the covered set; gaps are [prev_end+1,
+    // next_start-1] with sentinels 1 and n+1, empty slices vanish
+    base.join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        expr("filter(toks, (t, pi) -> cov IS NULL" +
-          " OR NOT array_contains(cov, pi + 1))").as("kept"))
+        expr("CASE WHEN ss IS NULL THEN toks ELSE" +
+          " flatten(zip_with(" +
+          " concat(array(1), transform(es, x -> x + 1))," +
+          " concat(ss, array(size(toks) + 1))," +
+          " (a, b) -> slice(toks, a, b - a))) END").as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("kept_tokens"),
         md5(concat_ws(" ", col("kept"))).as("scrub_md5"))
@@ -706,39 +781,17 @@ object DedupOps {
     * gaps-and-islands; the engine never does). */
   def dupMaxSpans(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val occ = d
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7)," +
-          " i -> named_struct('i', i," +
-          " 'gh', md5(concat_ws(' ', slice(toks, i, 8)))))")).as("o"))
-      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
-    val dup = occ.select("doc_id", "gh").distinct()
-      .groupBy("gh").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("gh")
-    val spans = occ.join(dup, "gh")
-      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
-      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
-      .withColumn("cs", array_sort(col("cov")))
-      // a covered position starts a run iff its left neighbor is absent,
-      // ends one iff its right neighbor is absent; both lists come out
-      // ascending, so they pair up positionally into (start, end) spans
-      .withColumn("starts", expr(
-        "filter(transform(cs, (x, j) ->" +
-          " IF(j = 0 OR element_at(cs, j) + 1 <> x, x, null))," +
-          " v -> v IS NOT NULL)"))
-      .withColumn("ends", expr(
-        "filter(transform(cs, (x, j) ->" +
-          " IF(j = size(cs) - 1 OR element_at(cs, j + 2) - 1 <> x, x, null))," +
-          " v -> v IS NOT NULL)"))
+    val occ = gramOcc(
+      d.select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val spans = mergedSpans(occ, dupGrams(occ))
       .select(col("doc_id"),
-        size(col("starts")).cast("long").as("n_spans"),
-        expr("array_max(zip_with(starts, ends, (s, e) -> e - s + 1))")
+        size(col("ss")).cast("long").as("n_spans"),
+        expr("array_max(zip_with(ss, es, (s, e) -> e - s + 1))")
           .cast("long").as("max_span"),
-        size(col("cs")).cast("long").as("span_cov"),
+        expr("aggregate(zip_with(ss, es, (a, b) -> b - a + 1)," +
+          " 0L, (acc, x) -> acc + x)").as("span_cov"),
         md5(concat_ws(" ", expr(
-          "zip_with(starts, ends, (s, e) ->" +
+          "zip_with(ss, es, (s, e) ->" +
             " concat(cast(s as string), '-', cast(e as string)))")))
           .as("spans_md5"))
     d.select(col("doc_id"),
@@ -779,32 +832,12 @@ object DedupOps {
   def longSpanScrub(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val base = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val occ = base
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7)," +
-          " i -> named_struct('i', i," +
-          " 'gh', md5(concat_ws(' ', slice(toks, i, 8)))))")).as("o"))
-      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
-    val dup = occ.select("doc_id", "gh").distinct()
-      .groupBy("gh").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("gh")
-    val spans = occ.join(dup, "gh")
-      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
-      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
-      .withColumn("cs", array_sort(col("cov")))
-      .withColumn("starts", expr(
-        "filter(transform(cs, (x, j) ->" +
-          " IF(j = 0 OR element_at(cs, j) + 1 <> x, x, null))," +
-          " v -> v IS NOT NULL)"))
-      .withColumn("ends", expr(
-        "filter(transform(cs, (x, j) ->" +
-          " IF(j = size(cs) - 1 OR element_at(cs, j + 2) - 1 <> x, x, null))," +
-          " v -> v IS NOT NULL)"))
+    val occ = gramOcc(base)
+    val spans = mergedSpans(occ, dupGrams(occ))
       // merged maximal spans are disjoint by construction, so the long
       // subset's coverage is a plain sum of lengths
       .withColumn("ls", expr(
-        s"filter(zip_with(starts, ends, (a, b) ->" +
+        s"filter(zip_with(ss, es, (a, b) ->" +
           s" named_struct('s', a, 'e', b))," +
           s" x -> x.e - x.s + 1 >= $LongSpanMin)"))
       .select(col("doc_id"),
@@ -817,9 +850,12 @@ object DedupOps {
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(col("n_long_spans"), lit(0L)).as("n_long_spans"),
         coalesce(col("long_cov"), lit(0L)).as("long_cov"),
-        expr("filter(toks, (t, pi) -> ls IS NULL OR" +
-          " NOT exists(ls, x -> pi + 1 >= x.s AND pi + 1 <= x.e))")
-          .as("kept"))
+        // gap-slice rebuild over the LONG spans only (q67's idiom)
+        expr("CASE WHEN ls IS NULL THEN toks ELSE" +
+          " flatten(zip_with(" +
+          " concat(array(1), transform(ls, x -> x.e + 1))," +
+          " concat(transform(ls, x -> x.s), array(size(toks) + 1))," +
+          " (a, b) -> slice(toks, a, b - a))) END").as("kept"))
       .select(col("doc_id"), col("n_tokens"), col("n_long_spans"),
         col("long_cov"),
         size(col("kept")).cast("long").as("kept_tokens"),

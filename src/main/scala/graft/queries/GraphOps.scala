@@ -194,30 +194,37 @@ object GraphOps {
     val d = docs(s, dir).select(col("doc_id")).persist()
     val n = d.count()
     val e = simpleEdges(d, n).persist()
+    // Intermediate half-steps carry ONLY nodes that received mass: a node
+    // absent from the score table is exactly a zero score (inner joins
+    // drop its zero contributions, max ignores zeros, 0 div mx = 0), so
+    // the per-half-step dangling left-join back to the full node list —
+    // 8 joins in the r5 spelling — collapses to the two left-joins of the
+    // final projection. The renormalizing max rides a 1-row broadcast
+    // over the SAME checkpoint leaf (both references resolve to one RDD);
+    // the r5 spelling additionally read it to the driver with agg().head
+    // per half-step — 8 driver-synchronous jobs moving one scalar each.
     var h = d.select(col("doc_id"), lit(1000000L).as("hub"))
     var a: DataFrame = null
     for (k <- 1 to HitsIters) {
-      val araw = d.join(
-          e.join(h.select(col("doc_id").as("src"), col("hub")), Seq("src"))
-            .groupBy(col("dst").as("doc_id"))
-            .agg(sum("hub").as("m")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("m"), lit(0L)).as("araw"))
+      val araw = e
+        .join(h.select(col("doc_id").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum("hub").as("araw"))
         .localCheckpoint(false)
-      val amx = araw.agg(max("araw")).head.getLong(0)
-      a = araw.select(col("doc_id"),
-        expr(s"(araw * 1000000) div ${amx}L").as("auth"))
-      val hraw = d.join(
-          e.join(a.select(col("doc_id").as("dst"), col("auth")), Seq("dst"))
-            .groupBy(col("src").as("doc_id"))
-            .agg(sum("auth").as("m")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("m"), lit(0L)).as("hraw"))
+      a = araw.crossJoin(broadcast(araw.agg(max("araw").as("amx"))))
+        .select(col("doc_id"), expr("(araw * 1000000) div amx").as("auth"))
+      val hraw = e
+        .join(a.select(col("doc_id").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(sum("auth").as("hraw"))
         .localCheckpoint(false)
-      val hmx = hraw.agg(max("hraw")).head.getLong(0)
-      h = hraw.select(col("doc_id"),
-        expr(s"(hraw * 1000000) div ${hmx}L").as("hub"))
+      h = hraw.crossJoin(broadcast(hraw.agg(max("hraw").as("hmx"))))
+        .select(col("doc_id"), expr("(hraw * 1000000) div hmx").as("hub"))
     }
-    h.join(a, Seq("doc_id"))
-      .select(col("doc_id"), col("hub").as("hub_u"), col("auth").as("auth_u"))
+    d.join(h, Seq("doc_id"), "left").join(a, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hub"), lit(0L)).as("hub_u"),
+        coalesce(col("auth"), lit(0L)).as("auth_u"))
   }
 
   val hitsSql: String = {

@@ -330,13 +330,14 @@ object TextOps {
     * not shuffled, beyond those terms). The final merge joins two
     * vocab-bounded tables. */
   def incrVocab(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).crossJoin(broadcast(
-      docs(s, dir).agg(expr("cast(max(doc_id)*4 div 5 as bigint)").as("t"))))
-    val tok = d.select(col("doc_id"), col("t"),
+    // literal split (the DedupOps.thresholdVal pattern): the doc_id
+    // predicate pushes into each side's scan before the token explode
+    val t = graft.queries.DedupOps.thresholdVal(docs(s, dir))
+    val tok = docs(s, dir).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("term"))
-    val bdf = tok.filter(col("doc_id") >= col("t"))
+    val bdf = tok.filter(col("doc_id") >= t)
       .groupBy("term").agg(count(lit(1)).cast("long").as("df_delta"))
-    val cdf = tok.filter(col("doc_id") < col("t"))
+    val cdf = tok.filter(col("doc_id") < t)
       .join(broadcast(bdf.select("term")), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).cast("long").as("df_old"))
     bdf.join(cdf, Seq("term"), "left")
@@ -869,25 +870,37 @@ object TextOps {
     * in rank order, fewer than K rows if the corpus exhausts first. */
   private def trainMerges(s: SparkSession, dir: String)
       : Seq[(Long, String, String, String, Long)] = {
+    // ONE corpus scan into the vocab table, PERSISTED: every iteration's
+    // pair aggregate reads the cache and re-applies the k merges found so
+    // far as a per-row fold (K tiny literal replaces over a vocab-bounded
+    // table — far cheaper than the r5 per-iteration localCheckpoint,
+    // which paid a materialization job per merge on top of the argmax
+    // job; per-iteration cost is now exactly one TakeOrdered job)
     val words = docs(s, dir)
       .select(explode(regexp_extract_all(col("text"),
         lit(" ?[A-Za-z]+"), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
       .select(regexp_replace(col("word"), "(.)", Sep + "$1" + Sep)
         .as("rep"), col("freq"))
-    var vocab = words.localCheckpoint(false)
-    val syms = split(expr(s"trim(BOTH '$Sep' FROM rep)"), Sep + Sep)
-    // adjacent pairs via indexed transform over a length-(n-1) slice —
-    // never sequence(1, n-1), which DESCENDS for single-symbol words
-    val pairs = explode(expr(
-      "transform(slice(syms, 1, size(syms) - 1), " +
-        "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"))
+      .persist()
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
+    def repK: org.apache.spark.sql.Column =
+      out.foldLeft(col("rep")) { case (c, (_, l, r, _, _)) =>
+        replace(c, lit(Sep + l + Sep + Sep + r + Sep),
+          lit(Sep + l + r + Sep))
+      }
     var k = 1
     var exhausted = false
     while (k <= MergeK && !exhausted) {
-      val best = vocab
+      val syms = split(expr(s"trim(BOTH '$Sep' FROM rep)"), Sep + Sep)
+      // adjacent pairs via indexed transform over a length-(n-1) slice —
+      // never sequence(1, n-1), which DESCENDS for single-symbol words
+      val pairs = explode(expr(
+        "transform(slice(syms, 1, size(syms) - 1), " +
+          "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"))
+      val best = words
+        .select(repK.as("rep"), col("freq"))
         .select(syms.as("syms"), col("freq"))
         .select(pairs.as("p"), col("freq"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -899,13 +912,10 @@ object TextOps {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((k.toLong, l, r, l + r, cnt))
-        vocab = vocab
-          .select(replace(col("rep"), lit(Sep + l + Sep + Sep + r + Sep),
-            lit(Sep + l + r + Sep)).as("rep"), col("freq"))
-          .localCheckpoint(false)
         k += 1
       }
     }
+    words.unpersist(blocking = false)
     out.toSeq
   }
 

@@ -123,13 +123,16 @@ class AnnRecallSpec extends SparkTestBase {
     graft.functions.GraftFunctions.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), expr(AnnOps.quantSpark).as("qv"))
-    var cents = e.filter(col("vec_id") < AnnOps.KmK)
-      .select(col("vec_id").cast("int").as("cell"), col("qv").as("cv"))
+    def collectCents(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Array[Long])].collect().toSeq
+        .map { case (c, v) => (c, v.toSeq) }
+    var cents = collectCents(e.filter(col("vec_id") < AnnOps.KmK)
+      .select(col("vec_id").cast("int").as("cell"), col("qv").as("cv")))
     var distortion = Vector.empty[Long]
     for (_ <- 1 to AnnOps.KmIters) {
       val a = AnnOps.kmAssign(e, cents)
       distortion :+= a.agg(sum("dist")).head.getLong(0)
-      cents = AnnOps.kmUpdate(a)
+      cents = collectCents(AnnOps.kmUpdate(a))
     }
     val fin = AnnOps.kmAssign(e, cents)
     distortion :+= fin.agg(sum("dist")).head.getLong(0)

@@ -133,14 +133,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("lang") && !p.contains("source"), p.take(800))
   }
 
-  test("q37 k-means: centroids broadcast (never a corpus shuffle for the " +
-       "assignment), argmin is a partial-combining min — no SortAggregate, " +
-       "no CartesianProduct") {
+  test("q37 k-means: trained centroids inline as literals — the final " +
+       "assignment is a pure scan→project (no Exchange, no Join, no " +
+       "SortAggregate; the argmin folds per-row under least())") {
     val p = planOf(AnnOps.kmeansCells(spark, dir))
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(p.contains("partial_min"), p.take(1200))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
     assert(!p.contains("SortAggregate"), p.take(1200))
+    assert(p.contains("least") && p.contains("sq_l2"), p.take(1200))
   }
 
   test("q38 trained-cell search: cell equi-join like q31 — no label, " +
@@ -209,7 +209,11 @@ class PlanSpec extends SparkTestBase {
     val p = planOf(DedupOps.dupSpans(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("gh"), p.take(800))
-    assert(p.contains("partial_count"), p.take(1200))
+    // dup-gram set = map-side-combined min/max (never distinct+count);
+    // coverage = map-side collect_set of gram STARTS (never an 8×
+    // position explode)
+    assert(p.contains("partial_min"), p.take(1200))
+    assert(p.contains("partial_collect_set"), p.take(1200))
     // the raw gram string is never a shuffle key: every hashpartitioning
     // clause keys on doc_id / gh / p, never a `gram` column
     assert(!"hashpartitioning\\([^)]*gram".r.findFirstIn(p).isDefined, p)
@@ -365,14 +369,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
-  test("q66 DSIR weights: both 64-row models broadcast into the token " +
-       "stream — no SortMergeJoin, no rangepartitioning; rollups combine " +
-       "map-side") {
+  test("q66 DSIR weights: the 64-row models inline as array literals " +
+       "(bounded-model collect, q37's pattern) — no model join at all, " +
+       "no SortMergeJoin, no rangepartitioning; rollups combine map-side") {
     val p = planOf(CorpusOps.dsirWeights(spark, dir))
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
     assert(!p.contains("rangepartitioning"), p.take(1500))
     assert(p.contains("partial_count"), p.take(1500))
+    assert(p.contains("element_at"), p.take(1500))
   }
 
   test("q68 fuzzy decontamination: benchmark gram table and size table " +
