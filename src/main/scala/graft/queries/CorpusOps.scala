@@ -34,9 +34,13 @@ object CorpusOps {
   private def grams5(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 5)," +
-          " i -> concat_ws(' ', slice(toks, i + 1, 5)))")).as("gram"))
+      // position explode + top-level gram projection: slice/concat_ws
+      // run codegen'd, where the r5 transform() lambda was interpreted
+      // per gram (the gramOcc lesson)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 4)")).as("i"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', slice(toks, i, 5))").as("gram"))
       .distinct()
 
   private val grams5Sql: String =
@@ -728,9 +732,12 @@ object CorpusOps {
     val g = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3)," +
-          " i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("gram"))
+      // codegen'd gram projection (the gramOcc lesson — no transform()
+      // lambda)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 2)")).as("i"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', slice(toks, i, 3))").as("gram"))
       .distinct()
     val bench = g.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("gram"))

@@ -74,7 +74,13 @@ object DedupOps {
     * the narrow per-row `minhash_bands` expression (no signature shuffle —
     * the only exchanges key on (b, band_hash) for the bucket self-join). */
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = narrowBands(docs(s, dir))
+    // persisted: the self-join's two sides are separate subtrees (the
+    // broadcast build side shares no Exchange with the probe side), so
+    // without the cache every consumer computes the minhash band table —
+    // 8 md5 families per shingle, the family's hottest expression —
+    // TWICE; production LSH pipelines materialize the signature table
+    // for the same reason
+    val bands = narrowBands(docs(s, dir)).persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("b"),
       col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("b"),

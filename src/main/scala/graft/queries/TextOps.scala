@@ -543,10 +543,12 @@ object TextOps {
     val total = occ.agg(count(lit(1)).cast("long").as("n"))
     val uni = occ.groupBy("tok").agg(count(lit(1)).cast("long").as("c"))
     val bi = toks
-      .select(explode(expr(
-        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
-          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // codegen'd bigram projection (the gramOcc lesson — no zip_with
+      // lambda); the ≥2 guard matters: sequence(1, 0) DESCENDS
+      .filter(size(col("t")) >= 2)
+      .select(col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
+      .select(expr("element_at(t, i)").as("w1"),
+        expr("element_at(t, i + 1)").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
       .filter(col("c12") >= 5)
     bi.join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))),
@@ -610,14 +612,20 @@ object TextOps {
     val toks = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
+    // position explode + top-level element_at projections: the r5
+    // zip_with(slice, slice) lambda was interpreted per bigram (the
+    // gramOcc lesson); and the unigram model derives from the VOCAB-
+    // BOUNDED bigram model (c1(w1) = Σ c12 over w2) instead of a third
+    // full pass over the bigram stream — 3 corpus passes → 2
     val bg = toks
-      .select(col("doc_id"), explode(expr(
-        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
-          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val uni = bg.groupBy("w1").agg(count(lit(1)).cast("long").as("c1"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, size(t) - 1)")).as("i"))
+      .select(col("doc_id"),
+        expr("element_at(t, i)").as("w1"),
+        expr("element_at(t, i + 1)").as("w2"))
     val bi  = bg.groupBy("w1", "w2")
       .agg(count(lit(1)).cast("long").as("c12"))
+    val uni = bi.groupBy("w1").agg(sum("c12").cast("long").as("c1"))
     val scored = bg
       .join(broadcast(uni), Seq("w1"))
       .join(broadcast(bi), Seq("w1", "w2"))

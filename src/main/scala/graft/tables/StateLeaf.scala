@@ -9,7 +9,7 @@ import org.apache.spark.storage.StorageLevel
  * env `SPARK_GRAFT_STATE_LEAF`, values `batched` | `checkpoint`):
  *
  *  - `batched` (default): [[org.apache.spark.sql.graft.BatchedLeaf]] —
- *    rows stored as ~8k-row byte slabs, reads are zero-copy UnsafeRow
+ *    rows stored as ≤1024-row / ~128 KiB byte slabs, reads are zero-copy UnsafeRow
  *    wraps, ContextCleaner lifecycle. Chosen after a JFR allocation
  *    profile showed the checkpoint blocks' per-row Java
  *    (de)serialization as the largest single allocation source in a
@@ -27,7 +27,13 @@ object StateLeaf {
   def batched: Boolean =
     sys.props.get("graft.stateLeaf")
       .orElse(sys.env.get("SPARK_GRAFT_STATE_LEAF"))
-      .forall(_.trim != "checkpoint")
+      .map(_.trim) match {
+      case None | Some("") | Some("batched") => true
+      case Some("checkpoint")                => false
+      case Some(other) => sys.error(
+        s"graft.stateLeaf: unknown value '$other' (use batched|checkpoint)" +
+          " — a typo here would silently invalidate an A/B")
+    }
 
   /** Where state blocks live: off-heap when the session has a pool (the
     * bench does — retained round state off the GC old generation),

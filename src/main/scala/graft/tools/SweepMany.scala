@@ -77,7 +77,8 @@ object SweepMany {
       System.clearProperty("graft.leafThreads")
     // Same set/CLEAR discipline for the state-leaf strategy (StateLeaf
     // reads the sysprop per call, so this is a clean per-sweep A/B knob:
-    // `columnar` vs `checkpoint`).
+    // `batched` vs `checkpoint` — anything else makes StateLeaf error
+    // rather than silently A/B-ing batched against itself).
     if (leafMode.nonEmpty)
       System.setProperty("graft.stateLeaf", leafMode)
     else

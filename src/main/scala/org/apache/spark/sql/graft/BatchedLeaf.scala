@@ -29,8 +29,10 @@ import org.apache.spark.unsafe.Platform
  * allocations PER ROW, and at 32 threads that allocation rate is GC share
  * that caps 8v32 scaling (25-50% of big-sweep wall).
  *
- * This leaf stores the same rows as ROW BATCHES instead: each ~8k-row /
- * ~4 MiB slab is one byte[] of concatenated UnsafeRow bytes plus one
+ * This leaf stores the same rows as ROW BATCHES instead: each ≤1024-row /
+ * ~128 KiB slab (`MaxRowsPerBatch`/`TargetBatchBytes` — NOT multi-MiB:
+ * slabs ≥4 MiB survive young GCs and their promotion cost A/B'd WORSE
+ * than per-row blocks) is one byte[] of concatenated UnsafeRow bytes plus one
  * offsets array (the UnsafeRow format is self-contained and relocatable —
  * the same property the shuffle's UnsafeRowSerializer relies on), so
  *
@@ -170,6 +172,13 @@ object BatchedLeaf {
       StorageLevel(useDisk = true, level.useMemory, level.useOffHeap,
         level.deserialized, level.replication)
     batches.persist(withDisk)
+    // Guards RDD.localCheckpoint() would have run and that this direct
+    // attachment intentionally drops: reliable-checkpoint conflict (this
+    // engine never calls rdd.checkpoint()) and the dynamic-allocation
+    // data-loss warning (local mode has no executor decommission). The
+    // require keeps the first assumption checkable.
+    require(batches.checkpointData.isEmpty,
+      "batches already has checkpoint data — reliable checkpoint conflict")
     batches.checkpointData =
       Some(new org.apache.spark.rdd.LocalRDDCheckpointData(batches))
     val out: RDD[InternalRow] = batches

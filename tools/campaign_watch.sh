@@ -68,9 +68,16 @@ while [ "$(elapsed)" -lt "$BUDGET" ]; do
   # (false-degraded read) and would contaminate a fired campaign. The
   # builder touches this file around its own JVM bursts; while present we
   # neither probe nor fire (incl. the last-resort path) — just wait.
-  if [ -f /tmp/graft_builder_busy ]; then
+  # Stale-hold guard: a builder that crashed (or a forgotten touch) must
+  # not silently eat the whole campaign window — honor the hold only when
+  # the file was touched in the last 30 min (the builder re-touches
+  # around its JVM bursts).
+  if [ -f /tmp/graft_builder_busy ] && \
+     find /tmp/graft_builder_busy -mmin -30 2>/dev/null | grep -q .; then
     echo "[watch] t=$(elapsed)s builder busy — holding"
     sleep 60; continue
+  elif [ -f /tmp/graft_builder_busy ]; then
+    echo "[watch] t=$(elapsed)s ignoring stale builder hold (mtime >30min)"
   fi
   LINE=$(python3 tools/box_probe.py 1 2>/dev/null | tail -1)
   CPU=$(echo "$LINE" | sed -n 's/.*cpu=\([0-9.]*\).*/\1/p')
