@@ -405,5 +405,7 @@ object GraftFunctions {
         intLit(es(2), "dims")), "built-in")
     reg.createOrReplaceTempFunction("sq_l2",
       es => SqL2(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("canon_key",
+      es => CanonKey(es(0)), "built-in")
   }
 }

@@ -322,11 +322,33 @@ object CrawlRound {
       .as[TraceKeyed]
 
     // --- 5. discovered URLs: canonicalize → seen-filter → insert ---------
-    val candidates: Dataset[SeenFilter.Candidate] = stepOuts
-      .select(explode(col("outlinks")).as("raw")).as[String]
-      .flatMap(raw => Urls.canonicalKeyUrl(raw)
-        .map(c => SeenFilter.Candidate(Urls.urlHash(c), c)))
-      .dropDuplicates("url_hash")
+    // canon_key is the native codegen'd spelling of the old typed
+    // flatMap(canonicalKeyUrl → Candidate(urlHash, _)): the outlink
+    // stream (~15× the page count, the round's densest row stream) stays
+    // columnar through canonicalize+hash+dedup with zero String
+    // materialization on the already-canonical fast path — the typed
+    // encoder boundary paid UTF8String→String→case-class→UTF8String per
+    // OUTLINK; it now runs once per DEDUPED candidate inside filterNew
+    // (functions/UrlKey.scala; parity pinned by UrlKeySpec, end-to-end by
+    // the trace/seen-set suites).
+    graft.functions.GraftFunctions.register(spark)
+    val candidates: Dataset[SeenFilter.Candidate] =
+      if (sys.props.get("graft.canonKey").orElse(
+            sys.env.get("SPARK_GRAFT_CANON_KEY")).contains("typed"))
+        // the pre-r6 typed spelling, kept as the A/B escape hatch (same
+        // set/clear discipline as graft.stateLeaf)
+        stepOuts
+          .select(explode(col("outlinks")).as("raw")).as[String]
+          .flatMap(raw => Urls.canonicalKeyUrl(raw)
+            .map(c => SeenFilter.Candidate(Urls.urlHash(c), c)))
+          .dropDuplicates("url_hash")
+      else stepOuts
+        .select(explode(col("outlinks")).as("raw"))
+        .select(org.apache.spark.sql.functions.expr("canon_key(raw)").as("ck"))
+        .filter(col("ck").isNotNull)
+        .select(col("ck.url_hash").as("url_hash"), col("ck.url").as("url"))
+        .dropDuplicates("url_hash")
+        .as[SeenFilter.Candidate]
 
     val genuinelyNew = SeenFilter
       .filterNew(spark, candidates, seenKeys, bloom)

@@ -502,13 +502,24 @@ object DedupOps {
     * q37). */
   private[queries] def components(pairs: DataFrame): DataFrame = {
     val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
-    // persist the PAIR list before mirroring it: union plans its two
-    // branches independently, so the r5 spelling computed the whole
-    // LSH+Jaccard pair pipeline twice into the edges persist
-    val p0 = pairs.select(col("doc_a"), col("doc_b")).persist()
-    val edges = p0
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // ONE generator emits both directions PLUS a self-loop per endpoint
+    // (duplicated self-loops are harmless under the min-aggregation):
+    //  - the r5 spelling mirrored the pair list with a self-UNION, which
+    //    plans its branches independently and computed the whole
+    //    LSH+Jaccard pair pipeline twice into the edges persist;
+    //  - self-loops make the per-round hop a plain join+groupBy — the r5
+    //    loop unioned the labels table back in every round, and a Union
+    //    over a lazily-checkpointed leaf trips stale origin constraints
+    //    (LogicalRDD.constraints drops only subquery constraints;
+    //    Union.rewriteConstraints then faults on attributes absent from
+    //    the child's output — hit by DedupComponentsSpec).
+    val edges = pairs
+      .select(explode(expr(
+        "array(named_struct('src', doc_a, 'dst', doc_b)," +
+          " named_struct('src', doc_b, 'dst', doc_a)," +
+          " named_struct('src', doc_a, 'dst', doc_a)," +
+          " named_struct('src', doc_b, 'dst', doc_b))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // lazy localCheckpoint (plan truncated immediately, the per-round
     // aggregate below materializes it — the CrawlDriver DeltaState
@@ -527,11 +538,11 @@ object DedupOps {
     var prevSum: java.math.BigDecimal = null
     var done = false
     while (!done) {
-      // hop: min over own + neighbors' labels
+      // hop: min over own + neighbors' labels (self-loops carry "own" —
+      // no per-round union, see the edges builder above)
       val hop = labels
         .join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("label"))
-        .union(labels.select(col("doc_id"), col("label")))
         .groupBy("doc_id").agg(min(col("label")).as("label"))
       // jump: label(v) <- label(label(v)); every label value is itself a
       // participating doc_id, so the self-join is total
@@ -546,7 +557,7 @@ object DedupOps {
       labels = next
       if (verbose) println(s"[components] round sum=$s done=$done")
     }
-    edges.unpersist(); p0.unpersist()
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("rep_id"),
       when(col("label") === col("doc_id"), 1).otherwise(0)
         .cast("int").as("keep"))
