@@ -51,24 +51,35 @@ object GraphOps {
         (col("doc_id") * 31 + 3) % n),
         lit(1), (col("doc_id") % 3 + 1).cast("int"))).as("dst"))
       .persist() // consumed by one action per iteration
-    var ranks = d.select(col("doc_id"), lit(1000000L).as("rank_u"))
+    // State per iteration = the SPARSE in-mass table (nodes that received
+    // mass); rank reconstructs inline as 150000 + (850·mass) div 1000
+    // with absent ⟺ mass 0 — the same arithmetic the r5 loop applied
+    // after a per-iteration left join back to the FULL node list, which
+    // existed only to materialize the dangling-in-degree ranks every
+    // round (the q56 sparse-intermediates fix; the reattachment happens
+    // once, in the final projection). Iteration 1 needs no ranks join at
+    // all (every rank is the 1e6 seed).
+    var mass: DataFrame = null
     for (k <- 1 to PrIters) {
-      val contrib = edges
-        .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst"),
-          expr("rank_u div (src % 3 + 1)").as("c"))
-        .groupBy("dst").agg(sum("c").as("in_mass"))
-      val next = d
-        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"),
-          "left")
-        .select(col("doc_id"),
-          (lit(150000L) + expr("(850 * coalesce(in_mass, 0L)) div 1000"))
-            .as("rank_u"))
-      // truncate the plan each round (the q18/q37 lesson) — except the
-      // last, which the caller consumes once and may want to inspect
-      ranks = if (k < PrIters) next.localCheckpoint(false) else next
+      val contrib =
+        if (mass == null)
+          edges.select(col("dst"),
+            expr("1000000L div (src % 3 + 1)").as("c"))
+        else
+          edges.join(mass.withColumnRenamed("doc_id", "src"), Seq("src"),
+              "left")
+            .select(col("dst"),
+              expr("(150000L + (850 * coalesce(in_mass, 0L)) div 1000)" +
+                " div (src % 3 + 1)").as("c"))
+      val next = contrib.groupBy(col("dst").as("doc_id"))
+        .agg(sum("c").as("in_mass"))
+      // truncate the plan each round (the q18/q37 lesson)
+      mass = if (k < PrIters) next.localCheckpoint(false) else next
     }
-    ranks
+    d.join(mass, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(150000L) + expr("(850 * coalesce(in_mass, 0L)) div 1000"))
+          .as("rank_u"))
   }
 
   val pageRankSql: String = {
