@@ -104,8 +104,11 @@ while [ "$(elapsed)" -lt "$BUDGET" ]; do
     # document (crawl.pairs[], crawl_2v8.pairs[], campaign_history) to
     # SPARK_GRAFT_BENCH_FULL_OUT — point that at the artifact path;
     # check_artifact reads the pairs from there.
-    env SPARK_GRAFT_SKIP_QUERIES=1 \
-        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    # SKIP_QUERIES dropped (VERDICT r5 ask #4): every fired campaign now
+    # records the per-query map too, so each round keeps a machine-
+    # readable per-query regression record even when the driver bench is
+    # cut short. Costs ~1-2 min per fire on the r6 engine.
+    env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
         SPARK_GRAFT_CRAWL_BIGN="${CAMPAIGN_BIGN:-4000000}" \
         SPARK_GRAFT_CRAWL_SMALLN="${CAMPAIGN_SMALLN:-3000000}" \
         SPARK_GRAFT_BENCH_BUDGET_SEC=900 \
