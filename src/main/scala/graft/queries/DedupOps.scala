@@ -531,19 +531,24 @@ object DedupOps {
     // round's ("prev") and counted inequalities — a whole extra join per
     // round whose only product was the stop signal, plus a separate
     // eager-checkpoint materialization job.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(false)
     // decimal(38,0): at 10^10 docs a sum of 10^10 labels overflows bigint
     var prevSum: java.math.BigDecimal = null
     var done = false
+    var labels: DataFrame = null
     while (!done) {
       // hop: min over own + neighbors' labels (self-loops carry "own" —
-      // no per-round union, see the edges builder above)
-      val hop = labels
-        .join(edges, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("label"))
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
+      // no per-round union, see the edges builder above). Round 1's
+      // labels are the identity (label(u) = u), so its hop is a plain
+      // aggregate over the edge list — no init table, no init distinct/
+      // checkpoint, no round-1 join.
+      val hop =
+        if (labels == null)
+          edges.groupBy(col("dst").as("doc_id"))
+            .agg(min(col("src")).as("label"))
+        else labels
+          .join(edges, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("label"))
+          .groupBy("doc_id").agg(min(col("label")).as("label"))
       // jump: label(v) <- label(label(v)); every label value is itself a
       // participating doc_id, so the self-join is total
       val next = hop.as("a")
