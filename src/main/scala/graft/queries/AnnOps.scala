@@ -304,11 +304,10 @@ object AnnOps {
     * never repartitioned to absorb a 10^6-vector batch. */
   def incrEmbedCandidates(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    // literal split (the DedupOps.thresholdVal pattern): the vec_id
-    // predicate pushes into each side's scan, so the batch side computes
-    // hyperplane signatures for batch vectors only
-    val t = e.agg(expr("cast(max(vec_id)*4 div 5 as bigint)"))
-      .head.getLong(0)
+    // literal split: the vec_id predicate pushes into each side's scan,
+    // so the batch side computes hyperplane signatures for batch
+    // vectors only
+    val t = graft.queries.DedupOps.thresholdVal(e, "vec_id")
     def sigs(side: DataFrame) = side.select(col("vec_id"),
         posexplode(expr(s"hyper_sigs(embedding, $BandBase, $Bands, $BandBits)")))
       .toDF("vec_id", "band", "sig")
@@ -386,7 +385,11 @@ object AnnOps {
       call_function("sq_l2", col("qv"),
         typedLit(cv)) * lit(256L) + lit(cell.toLong)
     }
-    if (terms.size == 1) terms.head else least(terms: _*)
+    terms.size match {
+      case 0 => lit(null).cast("bigint") // empty embeddings: no rows exist
+      case 1 => terms.head
+      case _ => least(terms: _*)
+    }
   }
 
   private[queries] def kmAssign(e: DataFrame,

@@ -328,8 +328,11 @@ object DedupOps {
     * before filtering — the batch side of every incremental operator paid
     * a full-corpus pass for its ~1/5 slice. In production t is the stored
     * snapshot boundary, a constant known before the query. */
-  private[queries] def thresholdVal(d: DataFrame): Long =
-    d.agg(expr("cast(max(doc_id)*4 div 5 as bigint)")).head.getLong(0)
+  private[queries] def thresholdVal(d: DataFrame,
+                                    keyCol: String = "doc_id"): Long = {
+    val r = d.agg(expr(s"cast(max($keyCol)*4 div 5 as bigint)")).head
+    if (r.isNullAt(0)) 0L else r.getLong(0) // empty table → empty split
+  }
 
   /** q15: exact incremental dedup — batch documents whose text hash is NOT
     * in the corpus, one survivor per hash (min doc_id), with the batch

@@ -29,6 +29,15 @@ object PlanDumpQ {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // shuffle/serializer configs matched to the bench session too —
+      // they do not change explain output today, but keeping the block
+      // identical avoids silent divergence of the plan evidence if a
+      // plan-relevant config is ever added there
+      .config("spark.shuffle.compress", "true")
+      .config("spark.shuffle.spill.compress", "true")
+      .config("spark.rdd.compress", "true")
+      .config("spark.serializer",
+        "org.apache.spark.serializer.JavaSerializer")
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size", "12g")
       .config("spark.sql.session.timeZone", "UTC")
