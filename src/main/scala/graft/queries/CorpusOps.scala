@@ -552,6 +552,7 @@ object CorpusOps {
         "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'" +
           " ELSE 'test' END"))
       .select("doc_id", "split", "toks")
+      .persist() // both pair sides read it
     DedupOps.lshCandidatePairs(s, dir)
       .join(meta.select(col("doc_id").as("doc_a"),
         col("split").as("sp_a"), col("toks").as("toks_a")), Seq("doc_a"))

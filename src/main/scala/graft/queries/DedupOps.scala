@@ -111,8 +111,10 @@ object DedupOps {
     * source at scale. Each side of the pair joins back to its token
     * array by doc_id (equi-joins on unique keys, shuffle ∝ candidates). */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the a/b join sides are separate subtrees, so without
+    // the cache the split+distinct token table is computed once per side
     val toks = docs(s, dir).select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      array_distinct(split(col("text"), " ")).as("toks")).persist()
     lshCandidatePairs(s, dir)
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         Seq("doc_a"))
@@ -158,11 +160,14 @@ object DedupOps {
     * arrays. */
   def minhashAudit(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // persisted: consumed by both pair sides — minhash_sigs is the
+    // expensive expression and would otherwise run twice per doc
     val sides = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr("minhash_sigs(toks)").as("sig"),
         array_distinct(col("toks")).as("utoks"))
+      .persist()
     lshCandidatePairs(s, dir)
       .join(sides.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("utoks").as("toks_a")), Seq("doc_a"))
@@ -276,6 +281,7 @@ object DedupOps {
   def copyMatrix(s: SparkSession, dir: String): DataFrame = {
     val meta = docs(s, dir).select(col("doc_id"),
       col("source"), array_distinct(split(col("text"), " ")).as("toks"))
+      .persist() // both pair sides read it
     lshCandidatePairs(s, dir)
       .join(meta.select(col("doc_id").as("doc_a"),
         col("source").as("src_a"), col("toks").as("toks_a")), Seq("doc_a"))
@@ -444,10 +450,14 @@ object DedupOps {
   def incrJaccardVerify(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val cand = incrLshCandidates(s, dir)
-    val corpusToks = d.select(col("doc_id").as("corpus_doc"),
-      array_distinct(split(col("text"), " ")).as("toks_c"))
-    val batchToks = d.select(col("doc_id").as("batch_doc"),
-      array_distinct(split(col("text"), " ")).as("toks_b"))
+    // one persisted token table; the corpus/batch sides are rename-only
+    // projections of the cache (split+distinct would otherwise run twice)
+    val toks = d.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("t")).persist()
+    val corpusToks = toks.select(col("doc_id").as("corpus_doc"),
+      col("t").as("toks_c"))
+    val batchToks = toks.select(col("doc_id").as("batch_doc"),
+      col("t").as("toks_b"))
     corpusToks.join(broadcast(cand), Seq("corpus_doc"))
       .join(batchToks, Seq("batch_doc"))
       .select(col("batch_doc"), col("corpus_doc"),
